@@ -1,0 +1,69 @@
+"""Canonical G1 robot model builders.
+
+Combines the MJCF variants the reference ships (reference
+description/robots/g1/): the deploy XML carries the correct lock-wrist merged
+inertials, the fitmotion XML carries the explicit foot contact spheres, and the
+env config supplies the extend-bodies (hands/head).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+from pbhc_tpu.model.mjcf import RobotModel, load_mjcf
+
+# single-sphere ground-collision approximations for non-foot bodies (offsets
+# are roughly each body's CoM in its own frame); used for the `collision`
+# penalty / contact termination and to keep ragdolls from falling through the
+# floor — the reference gets these from PhysX mesh collision
+G1_BODY_SPHERES = [
+    ("pelvis", (0.0, 0.0, -0.076), 0.09),
+    ("torso_link", (0.0, 0.0, 0.15), 0.11),
+    ("left_knee_link", (0.005, 0.004, -0.12), 0.05),
+    ("right_knee_link", (0.005, -0.004, -0.12), 0.05),
+    ("left_hip_pitch_link", (0.003, 0.048, -0.026), 0.06),
+    ("right_hip_pitch_link", (0.003, -0.048, -0.026), 0.06),
+    ("left_shoulder_roll_link", (0.0, 0.0, -0.05), 0.05),
+    ("right_shoulder_roll_link", (0.0, 0.0, -0.05), 0.05),
+    ("left_elbow_link", (0.12, 0.0, 0.0), 0.05),
+    ("right_elbow_link", (0.12, 0.0, 0.0), 0.05),
+]
+
+DEFAULT_EXTEND_CONFIG = [
+    {"joint_name": "left_hand_link", "parent_name": "left_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0.0, 0.0, 0.0]},
+    {"joint_name": "right_hand_link", "parent_name": "right_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0.0, 0.0, 0.0]},
+    {"joint_name": "head_link", "parent_name": "torso_link", "pos": [0.0, 0.0, 0.42], "rot": [1.0, 0.0, 0.0, 0.0]},
+]
+
+
+def g1_asset_root() -> Path:
+    for cand in [
+        Path(__file__).resolve().parents[2] / "assets" / "robots" / "g1",
+        Path("/root/reference/description/robots/g1"),
+    ]:
+        if cand.exists():
+            return cand
+    raise FileNotFoundError("G1 robot description not found")
+
+
+def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True) -> RobotModel:
+    """Dynamics model: deploy inertials + fitmotion foot spheres (+ body spheres)."""
+    root = g1_asset_root()
+    model = load_mjcf(root / f"{robot_type}.xml")
+    fit = root / f"{robot_type}_fitmotionONLY.xml"
+    if fit.exists():
+        model = model.with_contacts_from(load_mjcf(fit))
+    if body_spheres:
+        spheres = [s for s in G1_BODY_SPHERES if s[0] in model.body_names]
+        model = model.add_collision_spheres(spheres)
+    return model
+
+
+def load_g1_motion_model(robot_type: str = "g1_23dof_lock_wrist", extend_config=None) -> RobotModel:
+    """Kinematics model for the motion library (fitmotion MJCF + extend bodies)."""
+    root = g1_asset_root()
+    fit = root / f"{robot_type}_fitmotionONLY.xml"
+    path = fit if fit.exists() else root / f"{robot_type}.xml"
+    model = load_mjcf(path)
+    if extend_config is None:
+        extend_config = DEFAULT_EXTEND_CONFIG
+    return model.extend(extend_config)

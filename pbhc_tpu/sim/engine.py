@@ -1,0 +1,446 @@
+"""TPU-native articulated rigid-body dynamics engine.
+
+Replaces Isaac Gym PhysX (reference humanoidverse/simulator/isaacgym/isaacgym.py)
+with a from-scratch generalized-coordinate simulator designed for XLA:
+
+* one floating base + hinge tree (G1 23/29 DoF), generalized velocity
+  ``u = [v_root_world(3), w_root_world(3), qd(nd)]``;
+* CRBA mass matrix and RNEA bias forces computed in **world-origin spatial
+  coordinates** ([angular; linear-at-origin]) so the whole joint-joint block of
+  M is a single masked ``[nd,6] x [6,nd]`` matmul — no per-joint frame
+  transforms, MXU-friendly and fully batched over envs with ``vmap``;
+* ground contact as sphere-vs-plane point contacts solved with a projected
+  block-Jacobi impulse solver (friction cone + Baumgarte stabilization),
+  fixed shapes, no data-dependent control flow;
+* per-env physical parameters (mass/CoM/inertia/friction scaling) are inputs,
+  so build-time domain randomization (reference isaacgym.py:299-549) is just
+  per-env parameter sampling — no recompilation.
+
+Everything here is a pure function of (params, state, torques); the env layer
+vmaps + jits over the environment axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbhc_tpu.maths import rotations as rot
+from pbhc_tpu.model.mjcf import RobotModel
+
+GRAVITY = 9.81
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+
+    def flatten(self):
+        fields = dataclasses.fields(self)
+        return tuple(getattr(self, f.name) for f in fields), None
+
+    def unflatten(aux, children):
+        return cls(*children)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_pytree_dataclass
+class SimParams:
+    """Per-env physical parameters (leading env axis when batched)."""
+
+    mass: jax.Array          # [B]
+    com: jax.Array           # [B,3] body frame
+    inertia: jax.Array       # [B,3,3] body frame about com
+    friction: jax.Array      # [] per-env ground friction coefficient
+    armature: jax.Array      # [nd]
+    dof_damping: jax.Array   # [nd] viscous joint damping
+    dof_frictionloss: jax.Array  # [nd] Coulomb joint friction (smoothed)
+
+
+@_pytree_dataclass
+class SimState:
+    """Dynamic state of one env (vmap over envs)."""
+
+    root_pos: jax.Array      # [3]
+    root_quat: jax.Array     # [4] xyzw
+    root_lin_vel: jax.Array  # [3] world
+    root_ang_vel: jax.Array  # [3] world
+    dof_pos: jax.Array       # [nd]
+    dof_vel: jax.Array       # [nd]
+    # derived caches, refreshed by `derived_state` after each control step
+    body_pos: jax.Array      # [B,3]
+    body_quat: jax.Array     # [B,4]
+    body_lin_vel: jax.Array  # [B,3]
+    body_ang_vel: jax.Array  # [B,3]
+    contact_forces: jax.Array  # [B,3] world-frame net ground reaction per body
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineOptions:
+    dt: float = 1.0 / 200.0       # physics step (reference isaacgym.yaml fps: 200)
+    solver_iters: int = 24        # impulse solver iterations
+    baumgarte: float = 0.2        # error-correction fraction per step
+    contact_margin: float = 0.0   # activate contacts below this height
+    penetration_slop: float = 0.002
+    relaxation: float = 0.9       # PGS under-relaxation
+    max_depenetration_velocity: float = 1.0  # matches reference isaacgym.yaml physx
+    max_dof_vel: float = 100.0
+    max_root_lin_vel: float = 50.0
+    max_root_ang_vel: float = 50.0
+    contact_reg: float = 1e-3     # CFM-style relative regularization of the Delassus diag
+    joint_limits: bool = True     # hard-clamp hinge ranges
+
+
+class Engine:
+    """Static per-robot data + pure stepping functions (single env; vmap outside)."""
+
+    def __init__(self, model: RobotModel, options: EngineOptions = EngineOptions()):
+        # the engine simulates REAL bodies only; virtual extend-bodies (hands,
+        # head) are an env-layer concept (reference motion_tracking.py:619-643)
+        assert model.num_bodies == model.num_real_bodies, "pass the non-extended model"
+        self.model = model
+        self.opt = options
+        nb = model.num_real_bodies
+        nd = model.num_dof
+        self.nb, self.nd = nb, nd
+        self.nv = 6 + nd
+
+        # static tree/ancestry masks ------------------------------------------------
+        parent = model.parent[:nb]
+        anc_body_dof = np.zeros((nb, nd), dtype=np.float32)  # dof i on path root->body b
+        for b in range(nb):
+            x = b
+            while x != -1:
+                d = model.body_dof[x]
+                if d >= 0:
+                    anc_body_dof[b, d] = 1.0
+                x = parent[x]
+        self.anc_body_dof = jnp.asarray(anc_body_dof)
+        # anc[i, j] = 1 iff dof i is ancestor-or-self of dof j
+        self.dof_anc = jnp.asarray(anc_body_dof[np.asarray(model.dof_body), :].T)
+        self.contact_anc = jnp.asarray(anc_body_dof[np.asarray(model.contact_body), :])  # [K,nd]
+        self.contact_body = jnp.asarray(model.contact_body)
+        self.contact_pos = jnp.asarray(model.contact_pos, dtype=jnp.float32)
+        self.contact_radius = jnp.asarray(model.contact_radius, dtype=jnp.float32)
+        self.K = len(model.contact_body)
+
+        # subtree mask for composite inertias: sub[b, c] = body c in subtree of b
+        sub = np.zeros((nb, nb), dtype=np.float32)
+        for c in range(nb):
+            x = c
+            while x != -1:
+                sub[x, c] = 1.0
+                x = parent[x]
+        self.subtree = jnp.asarray(sub)
+
+        self.dof_body_arr = jnp.asarray(model.dof_body)
+        self.dof_axis = jnp.asarray(model.dof_axis, dtype=jnp.float32)
+        self.dof_limits = jnp.asarray(model.dof_limits, dtype=jnp.float32)
+
+    # ------------------------------------------------------------------ params
+    def default_params(self) -> SimParams:
+        m = self.model
+        return SimParams(
+            mass=jnp.asarray(m.mass[: self.nb], dtype=jnp.float32),
+            com=jnp.asarray(m.com[: self.nb], dtype=jnp.float32),
+            inertia=jnp.asarray(m.inertia[: self.nb], dtype=jnp.float32),
+            friction=jnp.asarray(1.0, dtype=jnp.float32),
+            armature=jnp.asarray(m.dof_armature, dtype=jnp.float32),
+            dof_damping=jnp.asarray(m.dof_damping, dtype=jnp.float32),
+            dof_frictionloss=jnp.asarray(m.dof_frictionloss, dtype=jnp.float32),
+        )
+
+    def default_state(self, root_pos=(0.0, 0.0, 0.8)) -> SimState:
+        nb, nd = self.nb, self.nd
+        return SimState(
+            root_pos=jnp.asarray(root_pos, dtype=jnp.float32),
+            root_quat=jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32),
+            root_lin_vel=jnp.zeros(3),
+            root_ang_vel=jnp.zeros(3),
+            dof_pos=jnp.zeros(nd),
+            dof_vel=jnp.zeros(nd),
+            body_pos=jnp.zeros((nb, 3)),
+            body_quat=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (nb, 1)),
+            body_lin_vel=jnp.zeros((nb, 3)),
+            body_ang_vel=jnp.zeros((nb, 3)),
+            contact_forces=jnp.zeros((nb, 3)),
+        )
+
+    # --------------------------------------------------------------- kinematics
+    def _fk(self, state: SimState):
+        from pbhc_tpu.model.kinematics import _fk_levels, joint_rotations_from_dof
+
+        R_joint = joint_rotations_from_dof(self.model, state.dof_pos)
+        R_root = rot.quat_to_matrix(state.root_quat)
+        p_w, R_w = _fk_levels(self.model, R_root, state.root_pos, R_joint)
+        return p_w[: self.nb], R_w[: self.nb]
+
+    def derived_state(self, params: SimParams, state: SimState, contact_forces=None) -> SimState:
+        """Refresh body pose/velocity caches from generalized state."""
+        from pbhc_tpu.model.kinematics import fk_velocities
+
+        p_w, R_w = self._fk(state)
+        v, w = fk_velocities(self.model, p_w, R_w,
+                             state.root_lin_vel, state.root_ang_vel, state.dof_vel)
+        return dataclasses.replace(
+            state,
+            body_pos=p_w,
+            body_quat=rot.matrix_to_quat(R_w),
+            body_lin_vel=v,
+            body_ang_vel=w,
+            contact_forces=state.contact_forces if contact_forces is None else contact_forces,
+        )
+
+    # ----------------------------------------------------------------- dynamics
+    def _spatial_quantities(self, params: SimParams, p_w, R_w):
+        """Spatial inertias and motion subspaces about the ROOT BODY ORIGIN.
+
+        Using the root position (not the world origin) as the spatial reference
+        point keeps all lever arms O(1m) regardless of where the env has walked,
+        which is essential for float32 precision (world-origin c~x~c~^T terms
+        suffer catastrophic cancellation once |p| >> body size). A bonus:
+        Phi_root becomes the constant [[0,I],[I,0]].
+
+        Returns (I_o [B,6,6], Phi_d [nd,6], Phi_root [6,6], axis_w [nd,3]).
+        Spatial motion convention: [omega; v_at_reference_point], world axes.
+        """
+        nb, nd = self.nb, self.nd
+        p_w = p_w - p_w[0]                                             # shift origin to root
+        c_w = p_w + jnp.einsum("bij,bj->bi", R_w, params.com)          # com, root-relative
+        I_c = R_w @ params.inertia @ jnp.swapaxes(R_w, -1, -2)          # [B,3,3]
+        m = params.mass[:, None, None]
+        ch = rot.skew(c_w)                                             # [B,3,3]
+        I_ang = I_c + m * (ch @ jnp.swapaxes(ch, -1, -2))
+        top = jnp.concatenate([I_ang, m * ch], axis=-1)                # [B,3,6]
+        bot = jnp.concatenate([m * jnp.swapaxes(ch, -1, -2), m * jnp.tile(jnp.eye(3), (nb, 1, 1))], axis=-1)
+        I_o = jnp.concatenate([top, bot], axis=-2)                     # [B,6,6]
+
+        # joint motion subspaces: hinge about world axis through the child body origin
+        bidx = self.dof_body_arr
+        axis_w = jnp.einsum("dij,dj->di", R_w[bidx], self.dof_axis)    # [nd,3]
+        anchor = p_w[bidx]
+        Phi_d = jnp.concatenate([axis_w, jnp.cross(anchor, axis_w)], axis=-1)  # [nd,6]
+
+        # root subspace: u_root = [v_root(3); w(3)] -> [w; v_o]
+        p_r = p_w[0]
+        Phi_root = jnp.zeros((6, 6))
+        Phi_root = Phi_root.at[:3, 3:].set(jnp.eye(3))
+        Phi_root = Phi_root.at[3:, :3].set(jnp.eye(3))
+        Phi_root = Phi_root.at[3:, 3:].set(rot.skew(p_r))
+        return I_o, Phi_d, Phi_root, axis_w
+
+    def mass_matrix(self, params: SimParams, I_o, Phi_d, Phi_root):
+        """CRBA in world-origin coordinates: one masked matmul for the dd block."""
+        nd = self.nd
+        # composite inertia per body: sum of subtree spatial inertias
+        I_comp = jnp.einsum("bc,cij->bij", self.subtree, I_o)          # [B,6,6]
+        I_comp_d = I_comp[self.dof_body_arr]                           # [nd,6,6]
+        F = jnp.einsum("dij,dj->di", I_comp_d, Phi_d)                  # [nd,6]
+
+        M_dd_full = Phi_d @ F.T                                        # [nd,nd]
+        mask = self.dof_anc                                            # anc[i,j]
+        M_dd = jnp.where(mask > 0, M_dd_full, 0.0)
+        M_dd = M_dd + M_dd.T - jnp.diag(jnp.diag(M_dd))
+        M_dd = M_dd + jnp.diag(params.armature)
+
+        M_rd = Phi_root.T @ F.T                                        # [6,nd]
+        M_rr = Phi_root.T @ I_comp[0] @ Phi_root                       # [6,6]
+
+        top = jnp.concatenate([M_rr, M_rd], axis=-1)
+        bot = jnp.concatenate([M_rd.T, M_dd], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)                    # [nv,nv]
+
+    @staticmethod
+    def _cross_motion(a, b):
+        """Spatial motion cross product, [w;v] convention."""
+        return jnp.concatenate(
+            [jnp.cross(a[..., :3], b[..., :3]),
+             jnp.cross(a[..., :3], b[..., 3:]) + jnp.cross(a[..., 3:], b[..., :3])],
+            axis=-1,
+        )
+
+    @staticmethod
+    def _cross_force(a, f):
+        """Spatial force cross product a x* f, [n;f] convention."""
+        return jnp.concatenate(
+            [jnp.cross(a[..., :3], f[..., :3]) + jnp.cross(a[..., 3:], f[..., 3:]),
+             jnp.cross(a[..., :3], f[..., 3:])],
+            axis=-1,
+        )
+
+    def bias_forces(self, state: SimState, I_o, Phi_d, Phi_root):
+        """RNEA with qdd = 0 (Coriolis/centrifugal + gravity), world-origin coords."""
+        nb, nd = self.nb, self.nd
+        model = self.model
+        u_root = jnp.concatenate([state.root_lin_vel, state.root_ang_vel])
+        v_root = Phi_root @ u_root
+        # fictitious gravity accel PLUS the root subspace rate: Phi_root is
+        # anchored at the (moving) root body origin, so Phi_dot*u = [0; v_r x w]
+        g_acc = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, GRAVITY])
+        g_acc = g_acc + jnp.concatenate(
+            [jnp.zeros(3), jnp.cross(state.root_lin_vel, state.root_ang_vel)]
+        )
+
+        qd_full = jnp.zeros((nb,)).at[self.dof_body_arr].set(state.dof_vel)
+        Phi_full = jnp.zeros((nb, 6)).at[self.dof_body_arr].set(Phi_d)
+
+        v = jnp.zeros((nb, 6)).at[0].set(v_root)
+        a = jnp.zeros((nb, 6)).at[0].set(g_acc)
+        for idx in model.levels:
+            idx = idx[idx < nb]
+            if len(idx) == 0:
+                continue
+            pidx = model.parent[idx]
+            vj = Phi_full[idx] * qd_full[idx][:, None]
+            v_new = v[pidx] + vj
+            a_new = a[pidx] + self._cross_motion(v_new, vj)
+            v = v.at[idx].set(v_new)
+            a = a.at[idx].set(a_new)
+
+        f = jnp.einsum("bij,bj->bi", I_o, a) + self._cross_force(v, jnp.einsum("bij,bj->bi", I_o, v))
+        # backward: subtree sums (static mask instead of reverse recursion)
+        f_sub = jnp.einsum("bc,ci->bi", self.subtree, f)               # [B,6]
+        bias_d = jnp.einsum("di,di->d", Phi_d, f_sub[self.dof_body_arr])
+        bias_root = Phi_root.T @ f_sub[0]
+        return jnp.concatenate([bias_root, bias_d])                    # [nv]
+
+    # ------------------------------------------------------------------ contact
+    def _contact_jacobian(self, p_w, R_w, Phi_d, Phi_root):
+        """J [K,3,nv]: world point velocity per unit generalized velocity.
+
+        Phi_* are expressed about the root body origin (see _spatial_quantities),
+        so lever arms here use root-relative positions; the returned contact
+        point x stays absolute (needed for the ground gap).
+        """
+        x = p_w[self.contact_body] + jnp.einsum("kij,kj->ki", R_w[self.contact_body], self.contact_pos)  # [K,3]
+        x_rel = x - p_w[0]
+        # dof columns: v_point = Phi.v + Phi.w x x_k, masked by ancestry
+        w_part = Phi_d[:, :3]                                          # [nd,3]
+        v_part = Phi_d[:, 3:]
+        Jd = v_part[None] + jnp.cross(w_part[None].repeat(self.K, 0), x_rel[:, None, :])  # [K,nd,3]
+        Jd = Jd * self.contact_anc[:, :, None]
+        # root columns: for each of 6 root dofs
+        rw = Phi_root[:3].T                                            # [6,3] omega parts
+        rv = Phi_root[3:].T                                            # [6,3] v_o parts
+        Jr = rv[None] + jnp.cross(jnp.tile(rw[None], (self.K, 1, 1)), x_rel[:, None, :])  # [K,6,3]
+        J = jnp.concatenate([Jr, Jd], axis=1)                          # [K,nv,3]
+        return jnp.swapaxes(J, 1, 2), x                                # [K,3,nv]
+
+    def _solve_contacts(self, params, M_inv, J, phi, u_plus):
+        """Projected block-Jacobi impulse solve. Returns (u_new, impulses [K,3])."""
+        opt = self.opt
+        K = self.K
+        Jf = J.reshape(K * 3, self.nv)
+        A = Jf @ M_inv @ Jf.T                                          # [3K,3K]
+        active = (phi < opt.contact_margin).astype(jnp.float32)        # [K]
+
+        # target normal velocity: capped Baumgarte push-out of penetration
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
+        v0 = (Jf @ u_plus).reshape(K, 3)
+        b = v0.at[:, 2].add(-b_err)                                    # residual velocity target 0
+
+        A4 = A.reshape(K, 3, K, 3)
+        D = A4[jnp.arange(K), :, jnp.arange(K), :]                     # [K,3,3]
+        reg = opt.contact_reg * jnp.maximum(D[:, 2, 2], 1e-6)[:, None, None] * jnp.eye(3)
+        D_inv = jnp.linalg.inv(D + reg + 1e-6 * jnp.eye(3))
+
+        mu = params.friction
+
+        def project_one(lam_k, active_k):
+            ln = jnp.maximum(lam_k[2], 0.0)
+            lt = lam_k[:2]
+            tn = jnp.linalg.norm(lt)
+            scale = jnp.minimum(1.0, mu * ln / jnp.maximum(tn, 1e-9))
+            return jnp.concatenate([lt * scale, ln[None]]) * active_k
+
+        A_blocks = A.reshape(K, 3, K, 3)
+
+        def sweep(_, lam):
+            # projected Gauss-Seidel: sequential over contacts (robust for the
+            # rigidly-coupled 4-point foot clusters where Jacobi stalls)
+            for k in range(K):
+                r = A_blocks[k].reshape(3, K * 3) @ lam.reshape(-1) + b[k]
+                lam_k = project_one(lam[k] - opt.relaxation * (D_inv[k] @ r), active[k])
+                lam = lam.at[k].set(lam_k)
+            return lam
+
+        lam = jax.lax.fori_loop(0, opt.solver_iters, sweep, jnp.zeros((K, 3)))
+        u_new = u_plus + M_inv @ (Jf.T @ lam.reshape(-1))
+        return u_new, lam
+
+    # ----------------------------------------------------------------- stepping
+    def substep(self, params: SimParams, state: SimState, tau: jax.Array):
+        """One physics step (single env): dynamics solve + contact + integrate.
+
+        Returns (state, contact_impulses [K,3], contact_points_body [K]).
+        """
+        opt = self.opt
+        p_w, R_w = self._fk(state)
+        I_o, Phi_d, Phi_root, _ = self._spatial_quantities(params, p_w, R_w)
+        M = self.mass_matrix(params, I_o, Phi_d, Phi_root)
+        bias = self.bias_forces(state, I_o, Phi_d, Phi_root)
+        # passive joint forces: viscous damping + smoothed Coulomb friction
+        qd0 = state.dof_vel
+        tau_passive = -params.dof_damping * qd0 - params.dof_frictionloss * jnp.tanh(qd0 / 0.05)
+        tau_full = jnp.concatenate([jnp.zeros(6), tau + tau_passive])
+
+        # factor M once; we need M^-1 densely for the Delassus operator anyway
+        L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(self.nv))
+        M_inv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(self.nv))
+
+        u = jnp.concatenate([state.root_lin_vel, state.root_ang_vel, state.dof_vel])
+        u_plus = u + opt.dt * (M_inv @ (tau_full - bias))
+
+        J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
+        phi = x[:, 2] - self.contact_radius
+        u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
+
+        # integrate (semi-implicit Euler) with velocity safety caps
+        v_r, w_r, qd = u_new[:3], u_new[3:6], u_new[6:]
+        v_r = jnp.clip(v_r, -opt.max_root_lin_vel, opt.max_root_lin_vel)
+        w_r = jnp.clip(w_r, -opt.max_root_ang_vel, opt.max_root_ang_vel)
+        qd = jnp.clip(qd, -opt.max_dof_vel, opt.max_dof_vel)
+        dof_pos = state.dof_pos + qd * opt.dt
+        if opt.joint_limits:
+            # hard joint limits: clamp + kill outward velocity
+            lo, hi = self.dof_limits[:, 0], self.dof_limits[:, 1]
+            below, above = dof_pos < lo, dof_pos > hi
+            dof_pos = jnp.clip(dof_pos, lo, hi)
+            qd = jnp.where(below & (qd < 0), 0.0, qd)
+            qd = jnp.where(above & (qd > 0), 0.0, qd)
+
+        new_state = dataclasses.replace(
+            state,
+            root_pos=state.root_pos + v_r * opt.dt,
+            root_quat=rot.quat_integrate(state.root_quat, w_r, opt.dt),
+            root_lin_vel=v_r,
+            root_ang_vel=w_r,
+            dof_pos=dof_pos,
+            dof_vel=qd,
+        )
+        return new_state, lam
+
+    def contact_forces_from_impulses(self, lam):
+        """Scatter per-point impulses to per-body forces [B,3] (world, N)."""
+        f = lam / self.opt.dt
+        return jnp.zeros((self.nb, 3)).at[self.contact_body].add(f)
+
+    def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int):
+        """decimation x (compute torques -> substep); refresh derived caches once.
+
+        torque_fn(state) -> tau [nd]; mirrors the reference hot loop
+        (legged_robot_base.py:287-295) where PD torques are recomputed every
+        physics substep from the fixed action target.
+        """
+        lam_acc = jnp.zeros((self.K, 3))
+        for _ in range(decimation):
+            tau = torque_fn(state)
+            state, lam = self.substep(params, state, tau)
+            lam_acc = lam_acc + lam
+        cf = jnp.zeros((self.nb, 3)).at[self.contact_body].add(lam_acc / (self.opt.dt * decimation))
+        return self.derived_state(params, state, contact_forces=cf)

@@ -1,0 +1,37 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; shardings are validated on a
+virtual CPU mesh exactly as the driver's dryrun does.
+
+Note: the environment presets JAX_PLATFORMS=axon (a remote single-TPU tunnel)
+and the jaxtyping pytest plugin imports jax before this conftest runs, so we
+must both override the env var and clear any already-initialized backends.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:
+    import jax._src.xla_bridge as xb  # pragma: no cover
+
+    xb._clear_backends()
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_motion_path():
+    p = "/root/reference/example/motion_data/Horse-stance_pose.pkl"
+    if not os.path.exists(p):
+        pytest.skip("reference motion data not available")
+    return p
