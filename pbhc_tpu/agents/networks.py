@@ -1,0 +1,62 @@
+"""Actor/critic networks (flax.linen).
+
+Mirrors the reference modules (reference humanoidverse/agents/modules/
+ppo_modules.py): MLP actor with a global learnable log-std Gaussian head, MLP
+critic with one value head per reward term (multi-head, reference mh_ppo.py:108).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_ACT = {"ELU": nn.elu, "ReLU": nn.relu, "Tanh": nn.tanh, "SiLU": nn.silu, "GELU": nn.gelu}
+
+
+class MLP(nn.Module):
+    hidden_dims: Sequence[int]
+    out_dim: int
+    activation: str = "ELU"
+
+    @nn.compact
+    def __call__(self, x):
+        act = _ACT[self.activation]
+        for h in self.hidden_dims:
+            x = act(nn.Dense(h)(x))
+        return nn.Dense(self.out_dim)(x)
+
+
+class GaussianActor(nn.Module):
+    """MLP mean + state-independent learnable std (reference ppo_modules.py:11-80)."""
+
+    hidden_dims: Sequence[int]
+    num_actions: int
+    init_noise_std: float = 0.8
+    activation: str = "ELU"
+
+    @nn.compact
+    def __call__(self, obs):
+        mean = MLP(self.hidden_dims, self.num_actions, self.activation)(obs)
+        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std))
+        return mean, jnp.broadcast_to(jnp.abs(std) + 1e-8, mean.shape)
+
+
+class Critic(nn.Module):
+    hidden_dims: Sequence[int]
+    num_values: int
+    activation: str = "ELU"
+
+    @nn.compact
+    def __call__(self, obs):
+        return MLP(self.hidden_dims, self.num_values, self.activation)(obs)
+
+
+def gaussian_log_prob(mean, std, actions):
+    var = std**2
+    return (-0.5 * ((actions - mean) ** 2) / var - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
+
+
+def gaussian_entropy(std):
+    return (0.5 + 0.5 * jnp.log(2 * jnp.pi) + jnp.log(std)).sum(-1)

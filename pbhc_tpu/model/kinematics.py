@@ -17,8 +17,23 @@ from pbhc_tpu.maths import rotations as rot
 from pbhc_tpu.model.mjcf import RobotModel
 
 
+def _level_order(model: RobotModel):
+    """Static level-sorted traversal: (order, inv_order, parent_pos_per_level).
+
+    Bodies are processed root-first, level by level; parents are addressed by
+    their POSITION in the level-sorted concatenation so the FK loop is pure
+    gather+concat — no scatters, which are slow on TPU.
+    """
+    order = [0] + [int(i) for lv in model.levels for i in lv]
+    pos = np.zeros(model.num_bodies, dtype=np.int64)
+    for p, b in enumerate(order):
+        pos[b] = p
+    parent_pos = [pos[model.parent[lv]] for lv in model.levels]
+    return np.asarray(order), pos, parent_pos
+
+
 def _fk_levels(model: RobotModel, R_root, p_root, R_joint):
-    """Core level-wise FK for one sample.
+    """Core level-wise FK for one sample (gather-only, see _level_order).
 
     R_root [3,3], p_root [3], R_joint [B,3,3] (per-body joint rotation in the
     body's local frame; root row is ignored — reference semantics: the root's
@@ -26,20 +41,19 @@ def _fk_levels(model: RobotModel, R_root, p_root, R_joint):
     torch_humanoid_batch.py:249-251).
     Returns world (p [B,3], R [B,3,3]).
     """
-    B = model.num_bodies
     R_local = jnp.asarray(rot.quat_to_matrix(jnp.asarray(model.local_quat, dtype=jnp.float32)))
     local_pos = jnp.asarray(model.local_pos, dtype=jnp.float32)
+    order, pos, parent_pos = _level_order(model)
 
-    R_w = jnp.zeros((B, 3, 3), dtype=jnp.float32).at[0].set(R_root)
-    p_w = jnp.zeros((B, 3), dtype=jnp.float32).at[0].set(p_root)
-    for idx in model.levels:
-        pidx = model.parent[idx]
-        Rp = R_w[pidx]                          # [L,3,3]
-        p_new = jnp.einsum("lij,lj->li", Rp, local_pos[idx]) + p_w[pidx]
-        R_new = Rp @ R_local[idx] @ R_joint[idx]
-        R_w = R_w.at[idx].set(R_new)
-        p_w = p_w.at[idx].set(p_new)
-    return p_w, R_w
+    R_acc = R_root[None]                         # level-sorted accumulation
+    p_acc = p_root[None]
+    for lv, ppos in zip(model.levels, parent_pos):
+        Rp = R_acc[ppos]                         # [L,3,3] gather
+        p_new = jnp.einsum("lij,lj->li", Rp, local_pos[lv]) + p_acc[ppos]
+        R_new = Rp @ R_local[lv] @ R_joint[lv]
+        R_acc = jnp.concatenate([R_acc, R_new], axis=0)
+        p_acc = jnp.concatenate([p_acc, p_new], axis=0)
+    return p_acc[pos], R_acc[pos]
 
 
 def fk_pose_aa(model: RobotModel, pose_aa, trans):
@@ -57,13 +71,18 @@ def fk_pose_aa(model: RobotModel, pose_aa, trans):
 
 
 def joint_rotations_from_dof(model: RobotModel, dof_pos):
-    """Per-body joint rotation matrices from hinge angles. dof_pos [nd]."""
-    B = model.num_bodies
+    """Per-body joint rotation matrices from hinge angles. dof_pos [nd].
+
+    Gather-based: concat joint rotations with an identity row, then index by a
+    static body->slot map (identity slot for jointless bodies)."""
     axis = jnp.asarray(model.dof_axis, dtype=jnp.float32)          # [nd,3]
     q = rot.quat_from_angle_axis(dof_pos, axis)                    # [nd,4]
     R = rot.quat_to_matrix(q)                                      # [nd,3,3]
-    R_joint = jnp.tile(jnp.eye(3, dtype=jnp.float32), (B, 1, 1))
-    return R_joint.at[jnp.asarray(model.dof_body)].set(R)
+    nd = model.num_dof
+    slot = np.full(model.num_bodies, nd, dtype=np.int64)
+    slot[np.asarray(model.dof_body)] = np.arange(nd)
+    R_all = jnp.concatenate([R, jnp.eye(3, dtype=jnp.float32)[None]], axis=0)
+    return R_all[slot]
 
 
 def fk_root_dof(model: RobotModel, root_pos, root_quat, dof_pos):
@@ -85,23 +104,25 @@ def fk_velocities(model: RobotModel, body_pos, body_R, root_lin_vel, root_ang_ve
     rigid-body state layout (reference isaacgym.py:608-618).
     Returns (lin_vel [B,3], ang_vel [B,3]).
     """
-    B = model.num_bodies
-    v = jnp.zeros((B, 3), dtype=jnp.float32).at[0].set(root_lin_vel)
-    w = jnp.zeros((B, 3), dtype=jnp.float32).at[0].set(root_ang_vel)
-    # world-frame joint axes
-    axis_w = jnp.zeros((B, 3), dtype=jnp.float32)
-    dof_body = jnp.asarray(model.dof_body)
+    nd = model.num_dof
+    dof_body = np.asarray(model.dof_body)
     axis_local = jnp.asarray(model.dof_axis, dtype=jnp.float32)
-    axis_w = axis_w.at[dof_body].set(jnp.einsum("dij,dj->di", body_R[dof_body], axis_local))
-    qd_full = jnp.zeros((B,), dtype=jnp.float32).at[dof_body].set(dof_vel)
+    # per-body joint twist contribution (0 for jointless bodies), gather-based
+    slot = np.full(model.num_bodies, nd, dtype=np.int64)
+    slot[dof_body] = np.arange(nd)
+    axis_w_d = jnp.einsum("dij,dj->di", body_R[dof_body], axis_local) * dof_vel[:, None]
+    twist = jnp.concatenate([axis_w_d, jnp.zeros((1, 3))], axis=0)[slot]  # [B,3]
 
-    for idx in model.levels:
-        pidx = model.parent[idx]
-        w_new = w[pidx] + axis_w[idx] * qd_full[idx][..., None]
-        v_new = v[pidx] + jnp.cross(w[pidx], body_pos[idx] - body_pos[pidx])
-        w = w.at[idx].set(w_new)
-        v = v.at[idx].set(v_new)
-    return v, w
+    order, pos, parent_pos = _level_order(model)
+    v_acc = root_lin_vel[None]
+    w_acc = root_ang_vel[None]
+    for lv, ppos in zip(model.levels, parent_pos):
+        wp = w_acc[ppos]
+        w_new = wp + twist[lv]
+        v_new = v_acc[ppos] + jnp.cross(wp, body_pos[lv] - body_pos[model.parent[lv]])
+        w_acc = jnp.concatenate([w_acc, w_new], axis=0)
+        v_acc = jnp.concatenate([v_acc, v_new], axis=0)
+    return v_acc[pos], w_acc[pos]
 
 
 def dof_from_pose_aa(model: RobotModel, pose_aa):

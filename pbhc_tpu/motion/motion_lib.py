@@ -77,6 +77,10 @@ class MotionLib:
     per env (with replacement when the library is smaller)."""
 
     def __init__(self, motion_file: str, model: RobotModel, num_envs: int, step_dt: float):
+        if motion_file is None:
+            raise ValueError(
+                "robot.motion.motion_file is not set — pass e.g. "
+                "robot.motion.motion_file=/path/to/motion.pkl on the CLI")
         self.model = model  # extended model (with virtual hands/head)
         self.num_envs = num_envs
         self.step_dt = step_dt

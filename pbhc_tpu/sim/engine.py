@@ -34,6 +34,25 @@ from pbhc_tpu.model.mjcf import RobotModel
 GRAVITY = 9.81
 
 
+def spd_inverse(M: jax.Array) -> jax.Array:
+    """Batched small-SPD inverse via unrolled Gauss-Jordan (no pivoting).
+
+    XLA's cholesky/triangular_solve lower to sequential column loops that are
+    latency-bound on TPU for tiny matrices; this is n uniform rank-1 updates,
+    each a large fused elementwise op over the batch (measured ~10x faster at
+    [4096,29,29]). Safe without pivoting because M is SPD.
+    """
+    n = M.shape[-1]
+    X = jnp.concatenate([M, jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)], axis=-1)
+    for j in range(n):
+        piv = X[..., j, j][..., None]                      # [...,1]
+        row = X[..., j, :] / piv                           # [...,2n]
+        col = X[..., :, j][..., None]                      # [...,n,1]
+        X = X - col * row[..., None, :]
+        X = X.at[..., j, :].set(row)
+    return X[..., :, n:]
+
+
 def _pytree_dataclass(cls):
     cls = dataclasses.dataclass(cls)
 
@@ -82,7 +101,8 @@ class SimState:
 @dataclasses.dataclass(frozen=True)
 class EngineOptions:
     dt: float = 1.0 / 200.0       # physics step (reference isaacgym.yaml fps: 200)
-    solver_iters: int = 24        # impulse solver iterations
+    solver: str = "apgd"          # "apgd" (batched, TPU) or "pgs" (sequential, reference-grade)
+    solver_iters: int = 32        # impulse solver iterations
     baumgarte: float = 0.2        # error-correction fraction per step
     contact_margin: float = 0.0   # activate contacts below this height
     penetration_slop: float = 0.002
@@ -140,6 +160,10 @@ class Engine:
         self.dof_body_arr = jnp.asarray(model.dof_body)
         self.dof_axis = jnp.asarray(model.dof_axis, dtype=jnp.float32)
         self.dof_limits = jnp.asarray(model.dof_limits, dtype=jnp.float32)
+        # body -> dof slot (nd = "no joint" row) for gather-based scatter-free maps
+        joint_slot = np.full(nb, nd, dtype=np.int64)
+        joint_slot[np.asarray(model.dof_body)] = np.arange(nd)
+        self.joint_slot = joint_slot
 
     # ------------------------------------------------------------------ params
     def default_params(self) -> SimParams:
@@ -285,21 +309,24 @@ class Engine:
             [jnp.zeros(3), jnp.cross(state.root_lin_vel, state.root_ang_vel)]
         )
 
-        qd_full = jnp.zeros((nb,)).at[self.dof_body_arr].set(state.dof_vel)
-        Phi_full = jnp.zeros((nb, 6)).at[self.dof_body_arr].set(Phi_d)
+        # joint twist per body (gather-based; zero row for jointless bodies)
+        twist_d = Phi_d * state.dof_vel[:, None]
+        twist = jnp.concatenate([twist_d, jnp.zeros((1, 6))], axis=0)[self.joint_slot]  # [B,6]
 
-        v = jnp.zeros((nb, 6)).at[0].set(v_root)
-        a = jnp.zeros((nb, 6)).at[0].set(g_acc)
-        for idx in model.levels:
-            idx = idx[idx < nb]
-            if len(idx) == 0:
-                continue
-            pidx = model.parent[idx]
-            vj = Phi_full[idx] * qd_full[idx][:, None]
-            v_new = v[pidx] + vj
-            a_new = a[pidx] + self._cross_motion(v_new, vj)
-            v = v.at[idx].set(v_new)
-            a = a.at[idx].set(a_new)
+        # gather-only level traversal (see kinematics._level_order)
+        from pbhc_tpu.model.kinematics import _level_order
+
+        order, pos, parent_pos = _level_order(model)
+        v_acc = v_root[None]
+        a_acc = g_acc[None]
+        for lv, ppos in zip(model.levels, parent_pos):
+            vj = twist[lv]
+            v_new = v_acc[ppos] + vj
+            a_new = a_acc[ppos] + self._cross_motion(v_new, vj)
+            v_acc = jnp.concatenate([v_acc, v_new], axis=0)
+            a_acc = jnp.concatenate([a_acc, a_new], axis=0)
+        v = v_acc[pos]
+        a = a_acc[pos]
 
         f = jnp.einsum("bij,bj->bi", I_o, a) + self._cross_force(v, jnp.einsum("bij,bj->bi", I_o, v))
         # backward: subtree sums (static mask instead of reverse recursion)
@@ -331,7 +358,13 @@ class Engine:
         return jnp.swapaxes(J, 1, 2), x                                # [K,3,nv]
 
     def _solve_contacts(self, params, M_inv, J, phi, u_plus):
-        """Projected block-Jacobi impulse solve. Returns (u_new, impulses [K,3])."""
+        """Contact impulse solve. Returns (u_new, impulses [K,3]).
+
+        Default solver is APGD (accelerated projected gradient on the contact
+        QP, Mazhar/Heyn/Negrut-style): every iteration is one dense matvec, so
+        the whole solve is a handful of fused batched ops on TPU. "pgs" keeps
+        a sequential projected Gauss-Seidel for reference-grade validation.
+        """
         opt = self.opt
         K = self.K
         Jf = J.reshape(K * 3, self.nv)
@@ -344,32 +377,56 @@ class Engine:
         v0 = (Jf @ u_plus).reshape(K, 3)
         b = v0.at[:, 2].add(-b_err)                                    # residual velocity target 0
 
-        A4 = A.reshape(K, 3, K, 3)
-        D = A4[jnp.arange(K), :, jnp.arange(K), :]                     # [K,3,3]
-        reg = opt.contact_reg * jnp.maximum(D[:, 2, 2], 1e-6)[:, None, None] * jnp.eye(3)
-        D_inv = jnp.linalg.inv(D + reg + 1e-6 * jnp.eye(3))
-
         mu = params.friction
 
-        def project_one(lam_k, active_k):
-            ln = jnp.maximum(lam_k[2], 0.0)
-            lt = lam_k[:2]
-            tn = jnp.linalg.norm(lt)
-            scale = jnp.minimum(1.0, mu * ln / jnp.maximum(tn, 1e-9))
-            return jnp.concatenate([lt * scale, ln[None]]) * active_k
+        def project(lam):                                              # [K,3] cone projection
+            ln = jnp.maximum(lam[:, 2], 0.0)
+            lt = lam[:, :2]
+            tn = jnp.linalg.norm(lt, axis=-1, keepdims=True)
+            scale = jnp.minimum(1.0, mu * ln[:, None] / jnp.maximum(tn, 1e-9))
+            return jnp.concatenate([lt * scale, ln[:, None]], axis=-1) * active[:, None]
 
-        A_blocks = A.reshape(K, 3, K, 3)
+        if opt.solver == "apgd":
+            bf = b.reshape(-1)
+            # Lipschitz bound: inf-norm row sum of A (cheap, safe)
+            L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
+            inv_L = 1.0 / L
 
-        def sweep(_, lam):
-            # projected Gauss-Seidel: sequential over contacts (robust for the
-            # rigidly-coupled 4-point foot clusters where Jacobi stalls)
-            for k in range(K):
-                r = A_blocks[k].reshape(3, K * 3) @ lam.reshape(-1) + b[k]
-                lam_k = project_one(lam[k] - opt.relaxation * (D_inv[k] @ r), active[k])
-                lam = lam.at[k].set(lam_k)
-            return lam
+            def body(carry, _):
+                x, x_prev, theta = carry
+                beta_y = theta * (1.0 - theta)
+                theta_new = 0.5 * (jnp.sqrt(theta**4 + 4 * theta**2) - theta**2)
+                beta = beta_y / (theta**2 + theta_new)
+                y = x + beta * (x - x_prev)
+                g = A @ y.reshape(-1) + bf
+                x_new = project((y.reshape(-1) - inv_L * g).reshape(K, 3))
+                return (x_new, x, theta_new), None
 
-        lam = jax.lax.fori_loop(0, opt.solver_iters, sweep, jnp.zeros((K, 3)))
+            init = (jnp.zeros((K, 3)), jnp.zeros((K, 3)), jnp.asarray(1.0))
+            (lam, _, _), _ = jax.lax.scan(body, init, None, length=opt.solver_iters)
+        else:
+            A_blocks = A.reshape(K, 3, K, 3)
+            D = A_blocks[jnp.arange(K), :, jnp.arange(K), :]           # [K,3,3]
+            reg = opt.contact_reg * jnp.maximum(D[:, 2, 2], 1e-6)[:, None, None] * jnp.eye(3)
+            D_inv = jnp.linalg.inv(D + reg + 1e-6 * jnp.eye(3))
+
+            def project_one(lam_k, active_k):
+                ln = jnp.maximum(lam_k[2], 0.0)
+                lt = lam_k[:2]
+                tn = jnp.linalg.norm(lt)
+                scale = jnp.minimum(1.0, mu * ln / jnp.maximum(tn, 1e-9))
+                return jnp.concatenate([lt * scale, ln[None]]) * active_k
+
+            def sweep(_, lam):
+                # sequential over contacts (robust for rigidly-coupled clusters)
+                for k in range(K):
+                    r = A_blocks[k].reshape(3, K * 3) @ lam.reshape(-1) + b[k]
+                    lam_k = project_one(lam[k] - opt.relaxation * (D_inv[k] @ r), active[k])
+                    lam = lam.at[k].set(lam_k)
+                return lam
+
+            lam = jax.lax.fori_loop(0, opt.solver_iters, sweep, jnp.zeros((K, 3)))
+
         u_new = u_plus + M_inv @ (Jf.T @ lam.reshape(-1))
         return u_new, lam
 
@@ -389,16 +446,18 @@ class Engine:
         tau_passive = -params.dof_damping * qd0 - params.dof_frictionloss * jnp.tanh(qd0 / 0.05)
         tau_full = jnp.concatenate([jnp.zeros(6), tau + tau_passive])
 
-        # factor M once; we need M^-1 densely for the Delassus operator anyway
-        L = jnp.linalg.cholesky(M + 1e-9 * jnp.eye(self.nv))
-        M_inv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(self.nv))
+        # we need M^-1 densely for the Delassus operator anyway
+        M_inv = spd_inverse(M)
 
         u = jnp.concatenate([state.root_lin_vel, state.root_ang_vel, state.dof_vel])
         u_plus = u + opt.dt * (M_inv @ (tau_full - bias))
 
-        J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
-        phi = x[:, 2] - self.contact_radius
-        u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
+        if self.K > 0:
+            J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
+            phi = x[:, 2] - self.contact_radius
+            u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
+        else:
+            u_new, lam = u_plus, jnp.zeros((0, 3))
 
         # integrate (semi-implicit Euler) with velocity safety caps
         v_r, w_r, qd = u_new[:3], u_new[3:6], u_new[6:]
@@ -430,17 +489,28 @@ class Engine:
         f = lam / self.opt.dt
         return jnp.zeros((self.nb, 3)).at[self.contact_body].add(f)
 
-    def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int):
+    def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int, keys=None):
         """decimation x (compute torques -> substep); refresh derived caches once.
 
-        torque_fn(state) -> tau [nd]; mirrors the reference hot loop
+        torque_fn(state, key) -> tau [nd]; mirrors the reference hot loop
         (legged_robot_base.py:287-295) where PD torques are recomputed every
-        physics substep from the fixed action target.
+        physics substep from the fixed action target (with fresh RFI torque
+        noise each substep). Substeps run under lax.scan so the substep graph
+        is compiled once, not `decimation` times.
+
+        Returns the refreshed state; `state.contact_forces` holds the mean
+        ground-reaction force over the substeps. The last applied torque is
+        returned alongside for reward computation.
         """
-        lam_acc = jnp.zeros((self.K, 3))
-        for _ in range(decimation):
-            tau = torque_fn(state)
-            state, lam = self.substep(params, state, tau)
-            lam_acc = lam_acc + lam
+        if keys is None:
+            keys = jnp.zeros((decimation, 2), dtype=jnp.uint32)
+
+        def body(st, key):
+            tau = torque_fn(st, key)
+            st, lam = self.substep(params, st, tau)
+            return st, (lam, tau)
+
+        state, (lams, taus) = jax.lax.scan(body, state, keys)
+        lam_acc = lams.sum(axis=0)
         cf = jnp.zeros((self.nb, 3)).at[self.contact_body].add(lam_acc / (self.opt.dt * decimation))
-        return self.derived_state(params, state, contact_forces=cf)
+        return self.derived_state(params, state, contact_forces=cf), taus[-1]

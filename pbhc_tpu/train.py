@@ -1,0 +1,108 @@
+"""Training CLI (reference humanoidverse/train_agent.py).
+
+Usage:
+    python -m pbhc_tpu.train exp=motion_tracking robot=g1_23dof \\
+        obs=motion_tracking rewards=motion_tracking domain_rand=main simulator=tpu \\
+        robot.motion.motion_file=<pkl> num_envs=4096 experiment_name=my_run \\
+        algo.config.num_learning_iterations=2000
+
+Composes YAML config groups (pbhc_tpu/config/), instantiates the env + MHPPO,
+and runs jitted train iterations with TensorBoard logging and Orbax
+checkpointing.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import yaml
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    from pbhc_tpu.config.loader import compose, parse_cli
+
+    sels, ovs = parse_cli(argv)
+    cfg_dir = Path(__file__).parent / "config"
+    cfg = compose(cfg_dir, sels, ovs)
+
+    timestamp = time.strftime("%Y%m%d_%H%M%S")
+    exp_dir = Path(cfg.base_dir) / cfg.project_name / f"{timestamp}-{cfg.experiment_name}-{cfg.get('log_task_name','task')}"
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    (exp_dir / "config.yaml").write_text(yaml.safe_dump(json.loads(json.dumps(cfg))))
+    print(f"[train] experiment dir: {exp_dir}")
+    print(f"[train] devices: {jax.devices()}")
+
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    key = jax.random.PRNGKey(int(cfg.seed))
+    k_env, k_algo = jax.random.split(key)
+    env = MotionTrackingEnv(cfg, int(cfg.num_envs), k_env)
+    algo = MHPPO(cfg, env)
+    ts = algo.init_train_state(k_algo)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(log_dir=str(exp_dir))
+    except Exception:
+        writer = None
+
+    num_iters = int(cfg.algo.config.num_learning_iterations)
+    save_interval = int(cfg.algo.config.save_interval)
+    log_interval = max(1, int(cfg.algo.config.get("logging_interval", 25)) // 5)
+    steps_per_iter = env.num_envs * algo.num_steps
+
+    ckpt_dir = exp_dir / "ckpt"
+    t_start = time.time()
+    for it in range(num_iters):
+        t0 = time.time()
+        ts, log = algo.train_iteration(ts)
+        if it == 0:
+            jax.block_until_ready(ts.actor_params)
+            print(f"[train] first iteration (incl. compile): {time.time()-t0:.1f}s")
+        if (it + 1) % log_interval == 0 or it == 0:
+            log = jax.device_get(log)
+            jax.block_until_ready(ts.actor_params)
+            dt_it = (time.time() - t0)
+            fps = steps_per_iter / dt_it
+            print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
+                  f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
+                  f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
+            if writer:
+                for k, v in log.items():
+                    writer.add_scalar(k, float(v), it + 1)
+                writer.add_scalar("Perf/total_fps", fps, it + 1)
+        if (it + 1) % save_interval == 0 or it + 1 == num_iters:
+            save_checkpoint(ckpt_dir, it + 1, ts)
+    print(f"[train] done in {time.time()-t_start:.0f}s")
+    save_checkpoint(ckpt_dir, num_iters, ts)
+    return ts
+
+
+def save_checkpoint(ckpt_dir, it, ts):
+    import pickle
+
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "iteration": int(ts.iteration),
+        "actor_params": jax.device_get(ts.actor_params),
+        "critic_params": jax.device_get(ts.critic_params),
+        "actor_opt": jax.device_get(ts.actor_opt),
+        "critic_opt": jax.device_get(ts.critic_opt),
+        "lr": float(ts.lr),
+    }
+    path = ckpt_dir / f"model_{it}.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    print(f"[train] saved {path}")
+
+
+if __name__ == "__main__":
+    main()

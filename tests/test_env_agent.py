@@ -1,0 +1,110 @@
+"""Motion-tracking env + MHPPO integration tests (tiny sizes, CPU)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbhc_tpu.config.loader import compose
+
+CFG_DIR = "/root/repo/pbhc_tpu/config"
+MOTION = "/root/reference/example/motion_data/Horse-stance_pose.pkl"
+
+
+@pytest.fixture(scope="module")
+def env():
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={MOTION}"],
+    )
+    return MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def stepped(env):
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    step = jax.jit(env.step)
+    for i in range(5):
+        acts = 0.1 * jax.random.normal(jax.random.PRNGKey(i), (4, env.nd))
+        state, obs, rew, done, info = step(state, acts)
+    return state, obs, rew, done, info
+
+
+def test_obs_layout_matches_reference(env):
+    # reference: 76-dim proprio + 4-step history -> 380 actor obs
+    assert env.obs_dim("actor_obs") == 380
+    assert env.obs_dim("critic_obs") == 630
+    assert env.num_rew_fn == 21
+
+
+def test_step_shapes_and_finiteness(env, stepped):
+    state, obs, rew, done, info = stepped
+    assert obs["actor_obs"].shape == (4, 380)
+    assert obs["critic_obs"].shape == (4, 630)
+    assert rew.shape == (4, env.num_rew_fn)
+    assert bool(jnp.isfinite(obs["actor_obs"]).all())
+    assert bool(jnp.isfinite(obs["critic_obs"]).all())
+    assert bool(jnp.isfinite(rew).all())
+    # tracking rewards (exp family) must be in (0, scale*dt]
+    names = env.reward_names
+    i = names.index("teleop_joint_position")
+    assert float(rew[:, i].min()) > 0
+
+
+def test_reset_on_motion_far(env):
+    """Teleporting the robot far from the reference must trigger a reset."""
+    state = env.init_state(jax.random.PRNGKey(3))
+    sim = dataclasses.replace(state.sim, root_pos=state.sim.root_pos + jnp.asarray([50.0, 0, 0]))
+    state = dataclasses.replace(state, sim=sim)
+    state2, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
+    assert bool(done.all())
+    # after reset the envs are back near the reference motion
+    assert float(jnp.abs(state2.sim.root_pos[:, 0]).max()) < 5.0
+    # episode clock restarted
+    assert int(state2.episode_length.max()) == 0
+
+
+def test_motion_phase_progresses(env):
+    state = env.init_state(jax.random.PRNGKey(4))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(5))
+    state = dataclasses.replace(state, history=hist)
+    step = jax.jit(env.step)
+    getters0 = env._obs_getters(state, jax.random.PRNGKey(0))
+    p0 = np.asarray(getters0["ref_motion_phase"])
+    state, *_ = step(state, jnp.zeros((4, env.nd)))
+    getters1 = env._obs_getters(state, jax.random.PRNGKey(0))
+    p1 = np.asarray(getters1["ref_motion_phase"])
+    assert (p1 >= p0 - 1e-6).all()
+
+
+def test_ppo_iteration_runs_and_learns_something():
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={MOTION}",
+         "algo.config.num_steps_per_env=4", "algo.config.num_mini_batches=2",
+         "algo.config.num_learning_epochs=2"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    ts = algo.init_train_state(jax.random.PRNGKey(1))
+    p_before = jax.tree.map(lambda x: x.copy(), ts.actor_params)
+    ts, log = algo.train_iteration(ts)
+    ts, log = algo.train_iteration(ts)
+    assert np.isfinite(float(log["Train/mean_step_reward"]))
+    assert np.isfinite(float(log["Loss/kl"]))
+    # parameters actually moved
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p_before, ts.actor_params)
+    assert max(jax.tree.leaves(diff)) > 0
+    assert int(ts.iteration) == 2
