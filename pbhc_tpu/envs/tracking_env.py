@@ -145,7 +145,16 @@ class MotionTrackingEnv:
             kp.append(got[0])
             kd.append(got[1])
             a = rcfg.control.action_scale
-            ascale.append(float(a[n]) if isinstance(a, dict) else float(a))
+            if isinstance(a, dict):
+                # matched by substring like PD gains (reference legged_robot_base.py:99-100)
+                val = None
+                for pat, v in a.items():
+                    if pat in n:
+                        val = float(v)
+                assert val is not None, f"no action_scale for {n}"
+                ascale.append(val)
+            else:
+                ascale.append(float(a))
         self.raw_default_dof_pos = jnp.asarray(q0)
         self.p_gains = jnp.asarray(kp)
         self.d_gains = jnp.asarray(kd)
@@ -172,7 +181,9 @@ class MotionTrackingEnv:
         self.reward_scales = jnp.asarray([scales[k] * self.dt for k in self.reward_names])
         self.penalty_mask = jnp.asarray(
             [1.0 if k in list(config.rewards.reward_penalty_reward_names) else 0.0 for k in self.reward_names])
-        self.num_rew_fn = len(self.reward_names) + 1  # +1 termination head (reference :230-233)
+        self.use_vec_reward = bool(config.env.config.get("use_vec_reward", True))
+        # +1 termination head in vec mode (reference legged_robot_base.py:230-233)
+        self.num_rew_fn = (len(self.reward_names) + 1) if self.use_vec_reward else 1
         self.sigma_terms = list(config.rewards.reward_tracking_sigma.keys())
         self.sigma_init = jnp.asarray([float(config.rewards.reward_tracking_sigma[t]) for t in self.sigma_terms])
 
@@ -292,6 +303,22 @@ class MotionTrackingEnv:
         t = (state.episode_length + step_offset).astype(jnp.float32) * self.dt + state.motion_start_times
         return get_motion_state(self.motion_lib.data, state.motion_ids, t), t
 
+    def _compute_diffs(self, sim, mres, body_pos, body_quat, body_vel, body_ang_vel):
+        """Reference-vs-sim difference tensors (reference motion_tracking.py:645-665;
+        general_tracking overrides the rotation diff with a quaternion product)."""
+        return {
+            "dif_body_pos": mres["rg_pos_t"] - body_pos,            # [N,BE,3]
+            "dif_body_rot": mres["rg_rot_t"] - body_quat,
+            "dif_body_vel": mres["body_vel_t"] - body_vel,
+            "dif_body_ang_vel": mres["body_ang_vel_t"] - body_ang_vel,
+            "dif_joint_pos": mres["dof_pos"] - sim.dof_pos,
+            "dif_joint_vel": mres["dof_vel"] - sim.dof_vel,
+        }
+
+    def _extra_terminations(self, term, rs, state):
+        """Subclass hook for additional termination conditions."""
+        return term
+
     # ------------------------------------------------------------------ reset
     def init_state(self, key) -> EnvState:
         N = self.num_envs
@@ -360,6 +387,17 @@ class MotionTrackingEnv:
         N = self.num_envs
         ks = jax.random.split(key, 10)
         ecfg = self.ecfg
+
+        # resample the motion id per reset env (multi-motion libraries keep all
+        # clips on device, so per-reset resampling subsumes the reference's
+        # periodic resample_motion(), motion_tracking.py:385-389)
+        if self.motion_lib.num_unique > 1:
+            new_ids = jax.random.categorical(
+                ks[8], jnp.log(self.motion_lib.data.sampling_prob), shape=(N,)).astype(jnp.int32)
+            motion_ids = jnp.where(mask, new_ids, state.motion_ids)
+        else:
+            motion_ids = state.motion_ids
+        state = dataclasses.replace(state, motion_ids=motion_ids)
 
         # resample start times (uniform phase; reference sample_time)
         new_start = sample_time(self.motion_lib.data, ks[0], state.motion_ids)
@@ -502,12 +540,13 @@ class MotionTrackingEnv:
         mres, motion_times = self._motion_state_at(st_tmp, 0)  # episode_length already +1
         body_pos, body_quat, body_vel, body_ang_vel = self._extend_body_states(sim)
 
-        dif_body_pos = mres["rg_pos_t"] - body_pos                  # [N,BE,3]
-        dif_body_rot = mres["rg_rot_t"] - body_quat
-        dif_body_vel = mres["body_vel_t"] - body_vel
-        dif_body_ang_vel = mres["body_ang_vel_t"] - body_ang_vel
-        dif_joint_pos = mres["dof_pos"] - sim.dof_pos
-        dif_joint_vel = mres["dof_vel"] - sim.dof_vel
+        diffs = self._compute_diffs(sim, mres, body_pos, body_quat, body_vel, body_ang_vel)
+        dif_body_pos = diffs["dif_body_pos"]
+        dif_body_rot = diffs["dif_body_rot"]
+        dif_body_vel = diffs["dif_body_vel"]
+        dif_body_ang_vel = diffs["dif_body_ang_vel"]
+        dif_joint_pos = diffs["dif_joint_pos"]
+        dif_joint_vel = diffs["dif_joint_vel"]
         ref_phase = jnp.clip(motion_times / state.motion_len, 0.0, 1.05)[:, None]
 
         # ---- termination (reference legged_robot_base.py:408-489 + motion_tracking.py:330-357)
@@ -527,6 +566,7 @@ class MotionTrackingEnv:
                 jnp.linalg.norm(dif_body_pos, axis=-1) > state.motion_far_threshold, axis=-1)
         if tcfg.terminate_when_dof_far:
             term["dof_far"] = jnp.linalg.norm(dif_joint_pos, axis=-1) > state.dof_far_threshold
+        term = self._extra_terminations(term, diffs, state)
         for v in term.values():
             reset_buf = reset_buf | v
 
@@ -550,6 +590,8 @@ class MotionTrackingEnv:
             dif_joint_pos=dif_joint_pos, dif_joint_vel=dif_joint_vel,
             body_vel=body_vel, ref_contact_mask=mres["contact_mask"],
             reset_buf=reset_buf, time_out=time_out,
+            base_lin_vel=base_lin_vel, mres=mres, diffs=diffs,
+            body_pos=body_pos, body_quat=body_quat, body_ang_vel=body_ang_vel,
         )
         rew_vec, sigma_values, sigma_ema, feet_air_time, errors = self._compute_rewards(state, rew_state)
 
@@ -585,11 +627,50 @@ class MotionTrackingEnv:
             "time_outs": time_out,
             "log": self._build_log(term, reset_buf, rew_vec, errors, state3),
         }
+        if not self.use_vec_reward:
+            rew_vec = rew_vec.sum(-1, keepdims=True)
         return state3, obs_dict, rew_vec, reset_buf, info
 
     # ---------------------------------------------------------------- rewards
     def _compute_rewards(self, state: EnvState, rs):
-        """All reward terms as a [N,R] vector (reference formulas cited inline)."""
+        """Reward vector assembly: terms (possibly subclass-extended) ->
+        config-ordered [N,R] with scales*dt + penalty curriculum + adaptive sigma."""
+        rews, errors, feet_air_time = self._reward_terms(state, rs)
+
+        cols = []
+        for i, name in enumerate(self.reward_names):
+            rew = rews[name] * self.reward_scales[i]
+            rew = jnp.where(self.penalty_mask[i] > 0, rew * state.reward_penalty_scale, rew) \
+                if bool(self.config.rewards.reward_penalty_curriculum) else rew
+            cols.append(rew)
+        # termination head (reference legged_robot_base.py:740-747,944-946)
+        cols.append((rs["reset_buf"] & ~rs["time_out"]).astype(jnp.float32) * self.termination_scale)
+        rew_vec = jnp.stack(cols, axis=-1)
+
+        # adaptive tracking sigma (reference motion_tracking.py:1030-1052)
+        sigma_values, sigma_ema = state.sigma_values, state.sigma_ema
+        if bool(self.config.rewards.adaptive_tracking_sigma.enable):
+            alpha = float(self.config.rewards.adaptive_tracking_sigma.alpha)
+            adptype = str(self.config.rewards.adaptive_tracking_sigma.get("type", "origin"))
+            new_emas, new_sigs = [], []
+            for i, t in enumerate(self.sigma_terms):
+                if t in errors:
+                    ema = sigma_ema[i] * (1 - alpha) + errors[t].mean() * alpha
+                    if adptype == "mean":
+                        sig_new = (jnp.minimum(ema, sigma_values[i]) + ema) / 2
+                    else:  # origin
+                        sig_new = jnp.minimum(ema, sigma_values[i])
+                else:
+                    ema, sig_new = sigma_ema[i], sigma_values[i]
+                new_emas.append(ema)
+                new_sigs.append(sig_new)
+            sigma_ema = jnp.stack(new_emas)
+            sigma_values = jnp.stack(new_sigs)
+
+        return rew_vec, sigma_values, sigma_ema, feet_air_time, errors
+
+    def _reward_terms(self, state: EnvState, rs):
+        """All reward terms as a name->[N] dict (reference formulas cited inline)."""
         sim: SimState = rs["sim"]
         N = self.num_envs
         sig = {t: state.sigma_values[i] for i, t in enumerate(self.sigma_terms)}
@@ -601,26 +682,37 @@ class MotionTrackingEnv:
             return jnp.exp(-err / sig[term])
 
         rews = {}
-        # --- tracking rewards (reference motion_tracking.py:1154-1292)
-        upper = rs["dif_body_pos"][:, self.upper_body_id]
-        lower = rs["dif_body_pos"][:, self.lower_body_id]
-        r_up = track((upper**2).mean(-1).mean(-1), "teleop_upper_body_pos")
-        r_lo = track((lower**2).mean(-1).mean(-1), "teleop_lower_body_pos")
-        rews["teleop_body_position_extend"] = (
-            r_lo * float(rcfg.teleop_body_pos_lowerbody_weight)
-            + r_up * float(rcfg.teleop_body_pos_upperbody_weight))
-        vr = rs["dif_body_pos"][:, self.motion_tracking_id]
-        rews["teleop_vr_3point"] = track((vr**2).mean(-1).mean(-1), "teleop_vr_3point_pos")
-        feet = rs["dif_body_pos"][:, self.feet_indices]
-        rews["teleop_body_position_feet"] = track((feet**2).mean(-1).mean(-1), "teleop_feet_pos")
-        rews["teleop_body_rotation_extend"] = track((rs["dif_body_rot"]**2).mean(-1).mean(-1), "teleop_body_rot")
-        rews["teleop_body_velocity_extend"] = track((rs["dif_body_vel"]**2).mean(-1).mean(-1), "teleop_body_vel")
-        rews["teleop_body_ang_velocity_extend"] = track((rs["dif_body_ang_vel"]**2).mean(-1).mean(-1), "teleop_body_ang_vel")
-        rews["teleop_joint_position"] = track((rs["dif_joint_pos"]**2).mean(-1), "teleop_joint_pos")
-        rews["teleop_joint_velocity"] = track((rs["dif_joint_vel"]**2).mean(-1), "teleop_joint_vel")
-        rews["teleop_max_joint_position"] = track(jnp.abs(rs["dif_joint_pos"]).max(-1), "teleop_max_joint_pos")
+        # --- tracking rewards, guarded by configured sigmas
+        # (reference motion_tracking.py:1154-1292)
+        if "teleop_upper_body_pos" in sig:
+            upper = rs["dif_body_pos"][:, self.upper_body_id]
+            lower = rs["dif_body_pos"][:, self.lower_body_id]
+            r_up = track((upper**2).mean(-1).mean(-1), "teleop_upper_body_pos")
+            r_lo = track((lower**2).mean(-1).mean(-1), "teleop_lower_body_pos")
+            rews["teleop_body_position_extend"] = (
+                r_lo * float(rcfg.teleop_body_pos_lowerbody_weight)
+                + r_up * float(rcfg.teleop_body_pos_upperbody_weight))
+        if "teleop_vr_3point_pos" in sig:
+            vr = rs["dif_body_pos"][:, self.motion_tracking_id]
+            rews["teleop_vr_3point"] = track((vr**2).mean(-1).mean(-1), "teleop_vr_3point_pos")
+        if "teleop_feet_pos" in sig:
+            feet = rs["dif_body_pos"][:, self.feet_indices]
+            rews["teleop_body_position_feet"] = track((feet**2).mean(-1).mean(-1), "teleop_feet_pos")
+        if "teleop_body_rot" in sig:
+            rews["teleop_body_rotation_extend"] = track((rs["dif_body_rot"]**2).mean(-1).mean(-1), "teleop_body_rot")
+        if "teleop_body_vel" in sig:
+            rews["teleop_body_velocity_extend"] = track((rs["dif_body_vel"]**2).mean(-1).mean(-1), "teleop_body_vel")
+        if "teleop_body_ang_vel" in sig:
+            rews["teleop_body_ang_velocity_extend"] = track((rs["dif_body_ang_vel"]**2).mean(-1).mean(-1), "teleop_body_ang_vel")
+        if "teleop_joint_pos" in sig:
+            rews["teleop_joint_position"] = track((rs["dif_joint_pos"]**2).mean(-1), "teleop_joint_pos")
+        if "teleop_joint_vel" in sig:
+            rews["teleop_joint_velocity"] = track((rs["dif_joint_vel"]**2).mean(-1), "teleop_joint_vel")
+        if "teleop_max_joint_pos" in sig:
+            rews["teleop_max_joint_position"] = track(jnp.abs(rs["dif_joint_pos"]).max(-1), "teleop_max_joint_pos")
         err_cm = jnp.abs(rs["contacts_filt"] - rs["ref_contact_mask"]).mean(-1)
         rews["teleop_contact_mask"] = 1.0 - err_cm
+        rews["teleop_contact_mask_v2"] = 0.5 - err_cm
 
         # --- penalties (reference legged_robot_base.py:941-1087)
         rews["penalty_torques"] = (rs["torques"]**2).sum(-1)
@@ -660,34 +752,11 @@ class MotionTrackingEnv:
         rews["limits_torque"] = jnp.clip(
             jnp.abs(rs["torques"]) - self.torque_limits * state.soft_torque_limit, 0.0, 1.0).sum(-1)
 
-        # --- assemble vector in config order, apply scale*dt + penalty curriculum
-        cols = []
-        for i, name in enumerate(self.reward_names):
-            rew = rews[name] * self.reward_scales[i]
-            rew = jnp.where(self.penalty_mask[i] > 0, rew * state.reward_penalty_scale, rew) \
-                if bool(self.config.rewards.reward_penalty_curriculum) else rew
-            cols.append(rew)
-        # termination head (reference legged_robot_base.py:740-747,944-946)
-        cols.append((rs["reset_buf"] & ~rs["time_out"]).astype(jnp.float32) * self.termination_scale)
-        rew_vec = jnp.stack(cols, axis=-1)
+        # foot slip penalty (reference legged_robot_base.py:1012-1017)
+        rews["foot_slip_penalty"] = (
+            in_contact * jnp.linalg.norm(feet_vel[..., :2], axis=-1)).sum(-1)
 
-        # --- adaptive tracking sigma (reference motion_tracking.py:1030-1052)
-        sigma_values, sigma_ema = state.sigma_values, state.sigma_ema
-        if bool(self.config.rewards.adaptive_tracking_sigma.enable):
-            alpha = float(self.config.rewards.adaptive_tracking_sigma.alpha)
-            new_emas, new_sigs = [], []
-            for i, t in enumerate(self.sigma_terms):
-                if t in errors:
-                    ema = sigma_ema[i] * (1 - alpha) + errors[t].mean() * alpha
-                    sig_new = jnp.minimum(ema, sigma_values[i])  # type: origin
-                else:
-                    ema, sig_new = sigma_ema[i], sigma_values[i]
-                new_emas.append(ema)
-                new_sigs.append(sig_new)
-            sigma_ema = jnp.stack(new_emas)
-            sigma_values = jnp.stack(new_sigs)
-
-        return rew_vec, sigma_values, sigma_ema, feet_air_time, errors
+        return rews, errors, feet_air_time
 
     # ---------------------------------------------------------------- curricula
     def _update_avg_episode_length(self, state, episode_length, reset_buf, n_reset):

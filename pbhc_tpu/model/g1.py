@@ -52,6 +52,11 @@ def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True
     fit = root / f"{robot_type}_fitmotionONLY.xml"
     if fit.exists():
         model = model.with_contacts_from(load_mjcf(fit))
+    elif len(model.contact_body) == 0:
+        # variants without explicit foot spheres (e.g. 29-DoF): borrow the
+        # 23-DoF fitmotion foot sphere set — the ankle links are identical
+        donor = load_mjcf(root / "g1_23dof_lock_wrist_fitmotionONLY.xml")
+        model = model.with_contacts_from(donor)
     if body_spheres:
         spheres = [s for s in G1_BODY_SPHERES if s[0] in model.body_names]
         model = model.add_collision_spheres(spheres)

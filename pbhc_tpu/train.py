@@ -37,13 +37,23 @@ def main(argv=None):
     print(f"[train] experiment dir: {exp_dir}")
     print(f"[train] devices: {jax.devices()}")
 
-    from pbhc_tpu.agents.mh_ppo import MHPPO
-    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+    import importlib
+
+    def resolve(target):
+        mod, cls = target.rsplit(".", 1)
+        return getattr(importlib.import_module(mod), cls)
+
+    env_cls = resolve(cfg.env.target)
+    algo_cls = resolve(cfg.algo.target)
 
     key = jax.random.PRNGKey(int(cfg.seed))
     k_env, k_algo = jax.random.split(key)
-    env = MotionTrackingEnv(cfg, int(cfg.num_envs), k_env)
-    algo = MHPPO(cfg, env)
+    env = env_cls(cfg, int(cfg.num_envs), k_env)
+    algo_kwargs = {}
+    teacher_path = cfg.algo.config.get("teacher_model_path")
+    if teacher_path:
+        algo_kwargs["teacher"] = load_teacher(teacher_path, cfg, env)
+    algo = algo_cls(cfg, env, **algo_kwargs)
     ts = algo.init_train_state(k_algo)
 
     try:
@@ -64,11 +74,11 @@ def main(argv=None):
         t0 = time.time()
         ts, log = algo.train_iteration(ts)
         if it == 0:
-            jax.block_until_ready(ts.actor_params)
+            jax.block_until_ready(jax.tree.leaves(ts)[0])
             print(f"[train] first iteration (incl. compile): {time.time()-t0:.1f}s")
         if (it + 1) % log_interval == 0 or it == 0:
             log = jax.device_get(log)
-            jax.block_until_ready(ts.actor_params)
+            jax.block_until_ready(jax.tree.leaves(ts)[0])
             dt_it = (time.time() - t0)
             fps = steps_per_iter / dt_it
             print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
@@ -85,19 +95,40 @@ def main(argv=None):
     return ts
 
 
+def load_teacher(ckpt_path, cfg, env):
+    """Frozen teacher for distill mode (reference ppo_mimic.py:121-145).
+
+    The teacher checkpoint must come from a PPOMimic run on a compatible obs
+    layout; returns (apply_fn, params) acting deterministically with the priv
+    encoder latent.
+    """
+    import pickle
+
+    from pbhc_tpu.agents.mimic_networks import MimicActorCritic
+    from pbhc_tpu.agents.ppo_mimic import PPOMimic
+
+    with open(ckpt_path, "rb") as f:
+        payload = pickle.load(f)
+    teacher_algo = PPOMimic(cfg, env)
+    t_params = payload["params"] if "params" in payload else payload["actor_params"]
+
+    def apply_fn(params, obs):
+        mean, _ = teacher_algo.net.apply(params, obs, False, method=MimicActorCritic.act)
+        return mean
+
+    return apply_fn, t_params
+
+
 def save_checkpoint(ckpt_dir, it, ts):
     import pickle
 
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    payload = {
-        "iteration": int(ts.iteration),
-        "actor_params": jax.device_get(ts.actor_params),
-        "critic_params": jax.device_get(ts.critic_params),
-        "actor_opt": jax.device_get(ts.actor_opt),
-        "critic_opt": jax.device_get(ts.critic_opt),
-        "lr": float(ts.lr),
-    }
+    payload = {"iteration": int(ts.iteration), "lr": float(ts.lr)}
+    for field in ("actor_params", "critic_params", "actor_opt", "critic_opt",
+                  "params", "opt", "hist_opt"):
+        if hasattr(ts, field):
+            payload[field] = jax.device_get(getattr(ts, field))
     path = ckpt_dir / f"model_{it}.pkl"
     with open(path, "wb") as f:
         pickle.dump(payload, f)

@@ -1,0 +1,123 @@
+"""KungfuBot2 stack: general-tracking env + PPOMimic (29-DoF, multi-motion)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbhc_tpu.config.loader import compose
+
+CFG_DIR = "/root/repo/pbhc_tpu/config"
+
+
+@pytest.fixture(scope="module")
+def multi_motion(tmp_path_factory):
+    from pbhc_tpu.motion.package import merge
+
+    out = tmp_path_factory.mktemp("motions") / "multi.pkl"
+    merge(out, ["/root/reference/example/motion_data/Horse-stance_pose.pkl",
+                "/root/reference/example/motion_data/Hooks_punch.pkl"])
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def env(multi_motion):
+    from pbhc_tpu.envs.general_tracking_env import GeneralTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=general_tracking", "robot=g1_29dof", "obs=general_tracking_teacher",
+         "rewards=general_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={multi_motion}",
+         "algo.config.num_steps_per_env=4", "algo.config.num_mini_batches=2",
+         "algo.config.num_learning_epochs=1"],
+    )
+    return GeneralTrackingEnv(cfg, 4, jax.random.PRNGKey(0)), cfg
+
+
+def test_obs_dims(env):
+    env, cfg = env
+    # 20 future steps x (1+2+3+1+29+33) = 1380; 10 hist steps x 92 = 920
+    assert env.obs_dim("future_motion_targets") == 1380
+    assert env.obs_dim("prop_history") == 920
+    assert env.obs_dim("priv_obs") == 66
+    assert env.motion_lib.num_unique == 2
+    assert env.nd == 29
+
+
+def test_step_and_future_targets(env):
+    env, cfg = env
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    step = jax.jit(env.step)
+    for i in range(3):
+        state, obs, rew, done, info = step(state, 0.05 * jax.random.normal(jax.random.PRNGKey(i), (4, 29)))
+    assert rew.shape == (4, 1)  # use_vec_reward: false -> scalar reward
+    for k, v in obs.items():
+        assert bool(jnp.isfinite(v).all()), k
+    # future targets step-major: first step's dof block should be close to the
+    # near-future reference (sanity: finite and bounded)
+    assert obs["future_motion_targets"].shape == (4, 1380)
+
+
+def test_multi_motion_resampling(env):
+    env, cfg = env
+    state = env.init_state(jax.random.PRNGKey(3))
+    # force everyone to reset many times; ids should cover both motions
+    ids = []
+    key = jax.random.PRNGKey(4)
+    for i in range(6):
+        key, k = jax.random.split(key)
+        state = env._reset_envs(state, jnp.ones(4, bool), k)
+        ids.append(np.asarray(state.motion_ids))
+    ids = np.concatenate(ids)
+    assert set(ids.tolist()) == {0, 1}
+
+
+def test_ppo_mimic_modes(env):
+    env, cfg = env
+    from pbhc_tpu.agents.ppo_mimic import PPOMimic
+
+    algo = PPOMimic(cfg, env)
+    ts = algo.init_train_state(jax.random.PRNGKey(5))
+    ts, log = algo.train_iteration(ts)        # RL mode
+    assert np.isfinite(float(log["Loss/priv_reg"]))
+    ts = dataclasses.replace(ts, iteration=jnp.asarray(20, jnp.int32))
+    p_before = jax.device_get(ts.params)
+    ts, log = algo.train_iteration(ts)        # DAgger mode
+    assert np.isfinite(float(log["Loss/hist_latent"]))
+    # dagger only moves history-encoder params
+    import flax
+
+    flat_b = flax.traverse_util.flatten_dict(p_before)
+    flat_a = flax.traverse_util.flatten_dict(jax.device_get(ts.params))
+    for k in flat_b:
+        moved = np.abs(flat_a[k] - flat_b[k]).max() > 0
+        is_hist = any("history_encoder" in str(p) for p in k)
+        if moved:
+            assert is_hist, k
+
+
+def test_distill_mode(env):
+    env, cfg = env
+    from pbhc_tpu.agents.ppo_mimic import PPOMimic
+    from pbhc_tpu.agents.mimic_networks import MimicActorCritic
+
+    # frozen "teacher" = another randomly-initialized net acting deterministically
+    teacher_algo = PPOMimic(cfg, env)
+    t_params = teacher_algo.net.init(jax.random.PRNGKey(9), teacher_algo._dummy_obs())
+
+    def teacher_apply(params, obs):
+        mean, _ = teacher_algo.net.apply(params, obs, False, method=MimicActorCritic.act)
+        return mean
+
+    algo = PPOMimic(cfg, env, teacher=(teacher_apply, t_params))
+    algo.dagger_only = True
+    ts = algo.init_train_state(jax.random.PRNGKey(6))
+    ts, log = algo.train_iteration(ts)
+    bc0 = float(log["Loss/bc"])
+    for _ in range(3):
+        ts, log = algo.train_iteration(ts)
+    assert float(log["Loss/bc"]) < bc0  # student moves toward the teacher
