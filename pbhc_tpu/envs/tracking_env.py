@@ -77,6 +77,8 @@ class EnvState:
     soft_dof_pos_limit: jax.Array
     soft_dof_vel_limit: jax.Array
     soft_torque_limit: jax.Array
+    sdc_alpha: jax.Array            # soft dynamic correction strength
+    noise_curriculum_value: jax.Array  # obs-noise curriculum multiplier
     # adaptive tracking sigma (reference motion_tracking.py:1018-1052)
     sigma_values: jax.Array         # [S] current sigmas (term order static)
     sigma_ema: jax.Array            # [S] error EMAs
@@ -366,6 +368,10 @@ class MotionTrackingEnv:
             soft_dof_pos_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_pos_initial_limit)),
             soft_dof_vel_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_vel_initial_limit)),
             soft_torque_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_torque_initial_limit)),
+            sdc_alpha=jnp.asarray(float(self.ecfg.soft_dynamic_correction.get("alpha", 0.0))),
+            noise_curriculum_value=jnp.asarray(
+                float(self.config.obs.noise_initial_value)
+                if bool(self.config.obs.get("add_noise_currculum", False)) else 1.0),
             sigma_values=self.sigma_init,
             sigma_ema=self.sigma_init,
             history=hist,
@@ -517,12 +523,54 @@ class MotionTrackingEnv:
 
         sub_keys = jax.random.split(k_step, N * self.decimation).reshape(N, self.decimation, 2)
 
-        def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys):
-            fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)
-            return self.engine.control_step(params, st, fn, self.decimation, keys)
+        # soft dynamic correction (reference motion_tracking.py:772-853): each
+        # substep the state is pulled toward the reference pose by a fraction
+        # such that the whole control step applies `sdc_alpha` total
+        sdc_cfg = self.ecfg.soft_dynamic_correction
+        use_sdc = bool(sdc_cfg.get("enable", False))
+        if use_sdc:
+            st_next = dataclasses.replace(state, sim=sim)
+            sdc_res, _ = self._motion_state_at(st_next, 1)
+            substep_alpha = 1.0 - (1.0 - state.sdc_alpha) ** (1.0 / self.decimation)
+            k_sdc, _ = jax.random.split(k_push)
+            if str(sdc_cfg.get("type", "deter")) == "prob":
+                gate = (jax.random.uniform(k_sdc, (N,)) < jnp.sqrt(state.sdc_alpha)).astype(jnp.float32)
+            else:
+                gate = jnp.ones((N,))
+            gate = gate * (state.sdc_alpha >= 0.005).astype(jnp.float32)
+            alpha_env = substep_alpha * gate                          # [N]
 
-        sim, torques = jax.vmap(env_physics)(
-            self.sim_params, sim, kp_eff, kd_eff, target, state.rfi_lim_scale, state.rao_scale, sub_keys)
+            def make_pre_fn(a, tgt_pos, tgt_quat, tgt_vel, tgt_ang, tgt_dof, tgt_dofv):
+                def pre(st):
+                    return dataclasses.replace(
+                        st,
+                        root_pos=st.root_pos + a * (tgt_pos - st.root_pos),
+                        root_quat=rot.slerp(st.root_quat, tgt_quat, a[None]),
+                        root_lin_vel=st.root_lin_vel + a * (tgt_vel - st.root_lin_vel),
+                        root_ang_vel=st.root_ang_vel + a * (tgt_ang - st.root_ang_vel),
+                        dof_pos=st.dof_pos + a * (tgt_dof - st.dof_pos),
+                        dof_vel=st.dof_vel + a * (tgt_dofv - st.dof_vel),
+                    )
+                return pre
+
+            def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys, a,
+                            tp, tq, tv, ta, td, tdv):
+                fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)
+                pre = make_pre_fn(a, tp, tq, tv, ta, td, tdv)
+                return self.engine.control_step(params, st, fn, self.decimation, keys, pre_substep_fn=pre)
+
+            sim, torques = jax.vmap(env_physics)(
+                self.sim_params, sim, kp_eff, kd_eff, target, state.rfi_lim_scale,
+                state.rao_scale, sub_keys, alpha_env,
+                sdc_res["root_pos"], sdc_res["root_rot"], sdc_res["root_vel"],
+                sdc_res["root_ang_vel"], sdc_res["dof_pos"], sdc_res["dof_vel"])
+        else:
+            def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys):
+                fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)
+                return self.engine.control_step(params, st, fn, self.decimation, keys)
+
+            sim, torques = jax.vmap(env_physics)(
+                self.sim_params, sim, kp_eff, kd_eff, target, state.rfi_lim_scale, state.rao_scale, sub_keys)
 
         episode_length = state.episode_length + 1
 
@@ -825,6 +873,24 @@ class MotionTrackingEnv:
                 float(lc.soft_torque_curriculum_level_up_threshold),
                 float(lc.soft_torque_curriculum_degree),
                 float(lc.soft_torque_min_limit), float(lc.soft_torque_max_limit), up_shrinks=True)
+        ocfg = self.config.obs
+        if bool(ocfg.get("add_noise_currculum", False)):
+            # obs-noise curriculum (reference legged_robot_base.py:637-645)
+            out["noise_curriculum_value"] = ramp(
+                state.noise_curriculum_value,
+                float(ocfg.soft_dof_pos_curriculum_level_down_threshold),
+                float(rcfg.reward_penalty_level_up_threshold),
+                float(ocfg.soft_dof_pos_curriculum_degree),
+                float(ocfg.noise_value_min), float(ocfg.noise_value_max), up_shrinks=False)
+        sdc = ecfg.soft_dynamic_correction
+        if bool(sdc.get("enable", False)) and bool(sdc.curriculum.get("enable", False)):
+            # reference motion_tracking.py:289-296: alpha grows when struggling,
+            # shrinks when succeeding
+            out["sdc_alpha"] = ramp(
+                state.sdc_alpha,
+                float(sdc.curriculum.level_down_threshold), float(sdc.curriculum.level_up_threshold),
+                float(sdc.curriculum.degree),
+                float(sdc.curriculum.min_alpha), float(sdc.curriculum.max_alpha), up_shrinks=True)
         return dataclasses.replace(state, **out)
 
     # ------------------------------------------------------------------- obs
@@ -879,11 +945,14 @@ class MotionTrackingEnv:
         getters = self._obs_getters(state, key)
         N = self.num_envs
 
+        noise_mult = state.noise_curriculum_value \
+            if bool(cfgo.get("add_noise_currculum", False)) else 1.0
+
         def noisy(name, k):
             raw = getters[name]
             nscale = float(cfgo.noise_scales.get(name, 0.0))
             if nscale > 0:
-                raw = raw + jax.random.uniform(k, raw.shape, minval=-1.0, maxval=1.0) * nscale
+                raw = raw + jax.random.uniform(k, raw.shape, minval=-1.0, maxval=1.0) * nscale * noise_mult
             return raw * float(cfgo.obs_scales.get(name, 1.0))
 
         # history ring buffers first (so groups can reference them)

@@ -494,7 +494,8 @@ class Engine:
         f = lam / self.opt.dt
         return jnp.zeros((self.nb, 3)).at[self.contact_body].add(f)
 
-    def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int, keys=None):
+    def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int, keys=None,
+                     pre_substep_fn=None):
         """decimation x (compute torques -> substep); refresh derived caches once.
 
         torque_fn(state, key) -> tau [nd]; mirrors the reference hot loop
@@ -511,6 +512,8 @@ class Engine:
             keys = jnp.zeros((decimation, 2), dtype=jnp.uint32)
 
         def body(st, key):
+            if pre_substep_fn is not None:
+                st = pre_substep_fn(st)
             tau = torque_fn(st, key)
             st, lam = self.substep(params, st, tau)
             return st, (lam, tau)
