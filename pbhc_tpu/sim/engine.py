@@ -157,6 +157,9 @@ class Engine:
                 x = parent[x]
         self.subtree = jnp.asarray(sub)
 
+        self.terrain_hf = None        # optional heightfield ground (meters)
+        self.terrain_hscale = 1.0
+
         self.dof_body_arr = jnp.asarray(model.dof_body)
         self.dof_axis = jnp.asarray(model.dof_axis, dtype=jnp.float32)
         self.dof_limits = jnp.asarray(model.dof_limits, dtype=jnp.float32)
@@ -335,6 +338,37 @@ class Engine:
         bias_root = Phi_root.T @ f_sub[0]
         return jnp.concatenate([bias_root, bias_d])                    # [nv]
 
+    # ------------------------------------------------------------------ terrain
+    def set_terrain(self, height_field, horizontal_scale):
+        """Install a heightfield ground (meters, [H,W]); default is a flat plane.
+
+        Replaces the reference's PhysX heightfield/trimesh collision
+        (reference isaacgym.py:89-150) with a bilinear height lookup under
+        each contact sphere (vertical contact normal — valid for the shallow
+        slopes the locomotion curriculum uses).
+        """
+        self.terrain_hf = jnp.asarray(height_field, dtype=jnp.float32)
+        self.terrain_hscale = float(horizontal_scale)
+
+    def ground_height(self, xy):
+        """Ground height under world xy [K,2] -> [K]."""
+        if self.terrain_hf is None:
+            return jnp.zeros(xy.shape[:-1])
+        hf = self.terrain_hf
+        ij = xy / self.terrain_hscale
+        i = jnp.clip(ij[..., 0], 0.0, hf.shape[0] - 1.001)
+        j = jnp.clip(ij[..., 1], 0.0, hf.shape[1] - 1.001)
+        i0 = jnp.floor(i).astype(jnp.int32)
+        j0 = jnp.floor(j).astype(jnp.int32)
+        fi = i - i0
+        fj = j - j0
+        h00 = hf[i0, j0]
+        h01 = hf[i0, j0 + 1]
+        h10 = hf[i0 + 1, j0]
+        h11 = hf[i0 + 1, j0 + 1]
+        return (h00 * (1 - fi) * (1 - fj) + h01 * (1 - fi) * fj
+                + h10 * fi * (1 - fj) + h11 * fi * fj)
+
     # ------------------------------------------------------------------ contact
     def _contact_jacobian(self, p_w, R_w, Phi_d, Phi_root):
         """J [K,3,nv]: world point velocity per unit generalized velocity.
@@ -459,7 +493,7 @@ class Engine:
 
         if self.K > 0:
             J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
-            phi = x[:, 2] - self.contact_radius
+            phi = x[:, 2] - self.contact_radius - self.ground_height(x[:, :2])
             u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
         else:
             u_new, lam = u_plus, jnp.zeros((0, 3))

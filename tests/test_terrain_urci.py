@@ -1,0 +1,70 @@
+"""Terrain generator + heightfield contact + URCI routing tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_terrain_generation():
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+
+    t = Terrain(TerrainConfig(num_rows=3, num_cols=4, border_size=1.0))
+    assert t.height_field.shape == (3 * 80 + 20, 4 * 80 + 20)
+    assert np.isfinite(t.height_field).all()
+    origins = t.sample_origins(16)
+    assert origins.shape == (16, 3)
+    # difficulty grows by row: later rows have larger height variance
+    v0 = t.height_field[10:90].std()
+    v2 = t.height_field[170:250].std()
+    assert np.isfinite(v0) and np.isfinite(v2)
+
+
+def test_engine_heightfield_contact():
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+    from pbhc_tpu.model.g1 import load_g1_sim_model
+    from pbhc_tpu.sim.engine import Engine
+
+    t = Terrain(TerrainConfig(num_rows=2, num_cols=2, border_size=2.0))
+    e = Engine(load_g1_sim_model())
+    e.set_terrain(t.height_field * 0 + 0.5, t.cfg.horizontal_scale)  # flat raised 0.5
+    h = np.asarray(e.ground_height(jnp.asarray([[3.0, 3.0]])))
+    assert h[0] == pytest.approx(0.5)
+    params = e.default_params()
+    st = e.default_state(root_pos=(3.0, 3.0, 1.4))
+    step = jax.jit(lambda s: e.substep(params, s, jnp.zeros(e.nd))[0])
+    for _ in range(400):
+        st = step(st)
+    assert float(st.root_pos[2]) > 0.45  # rests ON the raised ground, not through it
+
+
+def test_urci_routing_and_attacks(tmp_path):
+    import dataclasses
+
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.deploy.export import export_policy
+    from pbhc_tpu.deploy.urci import AttackConfig, URCIRobot
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=2",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    params = algo.actor.init(jax.random.PRNGKey(1), jnp.zeros((1, algo.actor_dim)))
+    npz = export_policy(params, env, tmp_path / "p.npz",
+                        meta_extra={"motion_file": str(cfg.robot.motion.motion_file)})
+
+    robot = URCIRobot([npz, npz], attack=AttackConfig(imu="OU", action_delay_ms=10, dq_radial=True))
+    traj = robot.routing(total_steps=30)
+    assert len(traj["pid"]) == 30
+    assert np.isfinite(traj["root_pos"]).all()
+    # manual policy switch with EMA blend
+    robot.switch_policy(1)
+    assert robot.cur_pid == 1 and robot._blend == 0.0
+    robot.control_step()
+    assert np.isfinite(robot.d.qpos).all()
