@@ -1,0 +1,130 @@
+"""Offline motion-processing tools.
+
+* `interpolate_default_pose`: default-pose lead-in/out blending with yaw
+  correction (reference robot_motion_process/motion_interpolation_pkl.py:10-60).
+* `convert_29dof_to_23dof`: strip wrist DoFs (reference convert_29dof_to_23dof.py).
+* contact-mask recompute helper lives in pbhc_tpu.motion.package.
+
+CLI:
+    python -m pbhc_tpu.motion.tools interp in.pkl out.pkl [lead_in_s=0.5] [lead_out_s=0.5]
+    python -m pbhc_tpu.motion.tools 29to23 in.pkl out.pkl
+"""
+from __future__ import annotations
+
+import sys
+
+import joblib
+import numpy as np
+from scipy.spatial.transform import Rotation as sRot
+
+# G1 29-dof joint order: 23-dof variant removes the 3 wrist joints per arm
+# minus the single retained elbow... the lock-wrist variant drops
+# wrist_roll/pitch/yaw on both arms (6 dofs): indices in the 29-dof order
+_WRIST_IDX_29 = [19, 20, 21, 26, 27, 28]  # l/r wrist roll,pitch,yaw
+
+
+def interpolate_default_pose(clip: dict, default_dof, default_root_height=0.793,
+                             lead_in_s=0.5, lead_out_s=0.5):
+    """Prepend/append a blend from/to the default standing pose."""
+    fps = int(clip["fps"])
+    n_in = int(lead_in_s * fps)
+    n_out = int(lead_out_s * fps)
+    dof = np.asarray(clip["dof"])
+    trans = np.asarray(clip["root_trans_offset"])
+    root_rot = np.asarray(clip["root_rot"])  # xyzw
+    T, nd = dof.shape
+    default_dof = np.asarray(default_dof, dtype=dof.dtype)
+
+    # default pose aligned to the clip's initial yaw (reference :30-45)
+    yaw0 = sRot.from_quat(root_rot[0]).as_euler("xyz")[2]
+    q_default = sRot.from_euler("z", yaw0).as_quat()
+    t_default = trans[0].copy()
+    t_default[2] = default_root_height
+
+    def blend(n, a_dof, a_trans, a_quat, b_dof, b_trans, b_quat):
+        out_dof, out_trans, out_rot = [], [], []
+        for i in range(n):
+            w = (i + 1) / (n + 1)
+            out_dof.append((1 - w) * a_dof + w * b_dof)
+            out_trans.append((1 - w) * a_trans + w * b_trans)
+            key = sRot.from_quat(np.stack([a_quat, b_quat]))
+            from scipy.spatial.transform import Slerp
+
+            out_rot.append(Slerp([0, 1], key)(w).as_quat())
+        return np.asarray(out_dof), np.asarray(out_trans), np.asarray(out_rot)
+
+    di, ti, ri = blend(n_in, default_dof, t_default, q_default, dof[0], trans[0], root_rot[0])
+    do, to, ro = blend(n_out, dof[-1], trans[-1], root_rot[-1], default_dof,
+                       trans[-1] * [1, 1, 0] + [0, 0, default_root_height],
+                       sRot.from_euler("z", sRot.from_quat(root_rot[-1]).as_euler("xyz")[2]).as_quat())
+
+    new = dict(clip)
+    new["dof"] = np.concatenate([di, dof, do]).astype(np.float32)
+    new["root_trans_offset"] = np.concatenate([ti, trans, to]).astype(np.float32)
+    new["root_rot"] = np.concatenate([ri, root_rot, ro]).astype(np.float32)
+    # rebuild pose_aa from root rot + dof * axes
+    if "pose_aa" in clip:
+        J = clip["pose_aa"].shape[1]
+        n_extend = J - 1 - nd
+        from pbhc_tpu.model.g1 import load_g1_motion_model
+
+        model = load_g1_motion_model()
+        axes = np.asarray(model.dof_axis)[:nd]
+        root_aa = sRot.from_quat(new["root_rot"]).as_rotvec()
+        pose = np.concatenate(
+            [root_aa[:, None, :], new["dof"][:, :, None] * axes[None],
+             np.zeros((len(new["dof"]), n_extend, 3))], axis=1)
+        new["pose_aa"] = pose.astype(np.float32)
+    if "contact_mask" in clip:
+        cm = np.asarray(clip["contact_mask"])
+        new["contact_mask"] = np.concatenate(
+            [np.ones((n_in, cm.shape[1])), cm, np.ones((n_out, cm.shape[1]))]).astype(cm.dtype)
+    if "smpl_joints" in new:
+        del new["smpl_joints"]
+    return new
+
+
+def convert_29dof_to_23dof(clip: dict):
+    """Drop wrist dofs; lock-wrist pose_aa keeps 24+extend joints."""
+    new = dict(clip)
+    dof = np.asarray(clip["dof"])
+    assert dof.shape[1] == 29, "expects a 29-dof clip"
+    keep = [i for i in range(29) if i not in _WRIST_IDX_29]
+    new["dof"] = dof[:, keep].astype(np.float32)
+    if "pose_aa" in clip:
+        pose = np.asarray(clip["pose_aa"])
+        # pose_aa: [T, 1 + 29 + E, 3] -> [T, 1 + 23 + E, 3]
+        body_keep = [0] + [1 + i for i in keep] + list(range(30, pose.shape[1]))
+        new["pose_aa"] = pose[:, body_keep].astype(np.float32)
+    return new
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    cmd, src, dst = argv[0], argv[1], argv[2]
+    kv = dict(a.split("=", 1) for a in argv[3:])
+    data = joblib.load(src)
+    out = {}
+    for k, clip in data.items():
+        if cmd == "interp":
+            from pbhc_tpu.config.loader import compose
+
+            cfg = compose("/root/repo/pbhc_tpu/config", ["robot=g1_23dof"])
+            from pbhc_tpu.model.g1 import load_g1_motion_model
+
+            model = load_g1_motion_model()
+            dd = [cfg.robot.init_state.default_joint_angles[n] for n in model.dof_names]
+            out[k] = interpolate_default_pose(
+                clip, dd,
+                lead_in_s=float(kv.get("lead_in_s", 0.5)),
+                lead_out_s=float(kv.get("lead_out_s", 0.5)))
+        elif cmd == "29to23":
+            out[k] = convert_29dof_to_23dof(clip)
+        else:
+            raise SystemExit(f"unknown command {cmd}")
+    joblib.dump(out, dst, compress=3)
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()

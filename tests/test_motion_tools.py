@@ -1,0 +1,53 @@
+"""Offline motion pipeline: interpolation, dof conversion, JAX retargeting, vis."""
+import joblib
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clip(ref_motion_path):
+    return next(iter(joblib.load(ref_motion_path).values()))
+
+
+def test_interpolate_default_pose(clip):
+    from pbhc_tpu.motion.tools import interpolate_default_pose
+
+    new = interpolate_default_pose(clip, np.zeros(23), lead_in_s=0.3, lead_out_s=0.3)
+    n = int(0.3 * clip["fps"])
+    assert new["dof"].shape[0] == clip["dof"].shape[0] + 2 * n
+    assert new["pose_aa"].shape[0] == new["dof"].shape[0]
+    # lead-in starts near the default pose and blends toward frame 0
+    assert np.abs(new["dof"][0]).max() < np.abs(clip["dof"][0]).max() + 0.2
+    np.testing.assert_allclose(new["dof"][n], clip["dof"][0], atol=0.15)
+
+
+def test_convert_29dof_to_23dof(clip):
+    from pbhc_tpu.motion.tools import convert_29dof_to_23dof
+
+    fake29 = dict(clip)
+    T = clip["dof"].shape[0]
+    fake29["dof"] = np.zeros((T, 29), dtype=np.float32)
+    fake29["pose_aa"] = np.zeros((T, 33, 3), dtype=np.float32)
+    out = convert_29dof_to_23dof(fake29)
+    assert out["dof"].shape == (T, 23)
+    assert out["pose_aa"].shape == (T, 27, 3)
+
+
+def test_retarget_smpl_joints(clip):
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.retarget import retarget_smpl_joints
+
+    model = load_g1_motion_model()
+    out = retarget_smpl_joints(model, np.asarray(clip["smpl_joints"][:30]), iters=500)
+    assert out["retarget_mean_error_m"] < 0.08
+    assert out["dof"].shape == (30, 23)
+    assert np.isfinite(out["pose_aa"]).all()
+
+
+def test_vis_motion_gif(ref_motion_path, tmp_path):
+    from pbhc_tpu.vis.vis_motion import render_motion
+
+    out = render_motion(ref_motion_path, tmp_path / "m.gif", stride=16, max_frames=8)
+    import os
+
+    assert os.path.getsize(out) > 10000
