@@ -56,6 +56,25 @@ def main(argv=None):
     algo = algo_cls(cfg, env, **algo_kwargs)
     ts = algo.init_train_state(k_algo)
 
+    # resume (reference ppo.py:145-173: restores params + optimizer + iter + LR)
+    if cfg.get("checkpoint"):
+        import dataclasses
+        import pickle
+
+        import jax.numpy as jnp
+
+        with open(cfg.checkpoint, "rb") as f:
+            payload = pickle.load(f)
+        updates = {k: payload[k] for k in payload
+                   if hasattr(ts, k) and k not in ("iteration", "lr")}
+        if not bool(cfg.algo.config.get("load_optimizer", True)):
+            updates = {k: v for k, v in updates.items() if "opt" not in k}
+        ts = dataclasses.replace(
+            ts, **updates,
+            iteration=jnp.asarray(payload.get("iteration", 0), jnp.int32),
+            lr=jnp.asarray(payload.get("lr", float(ts.lr))))
+        print(f"[train] resumed from {cfg.checkpoint} at iteration {payload.get('iteration', 0)}")
+
     try:
         from torch.utils.tensorboard import SummaryWriter
 
