@@ -19,7 +19,7 @@ import numpy as np
 import yaml
 
 
-def rollout_jax(env, actor, actor_params, num_steps, key):
+def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
     """Deterministic rollout in the TPU env; returns trajectory + ref dicts."""
     import dataclasses
 
@@ -70,6 +70,12 @@ def rollout_jax(env, actor, actor_params, num_steps, key):
         ref["body_pos"].append(np.asarray(mres["rg_pos_t"][0]))
         ref["body_rot"].append(np.asarray(mres["rg_rot_t"][0]))
         ref["contact_mask"].append(np.asarray(mres["contact_mask"][0]))
+        if dashboard is not None:
+            scal = {k: float(v) for k, v in jax.device_get(info["log"]).items()
+                    if k.startswith("rew_") or "diff_norm" in k or "sigma" in k}
+            scal["root_z"] = float(sim.root_pos[0, 2])
+            scal["dof_err"] = float(jnp.abs(mres["dof_pos"][0] - sim.dof_pos[0]).mean())
+            dashboard.log_step(scal)
         dones.append(bool(done[0]))
         if dones[-1]:
             break
@@ -86,6 +92,7 @@ def main(argv=None):
     kv = dict(a.split("=", 1) for a in argv)
     ckpt_path = Path(kv.pop("checkpoint"))
     sim2sim = kv.pop("sim2sim", "false").lower() == "true"
+    dashboard_flag = kv.pop("dashboard", "false").lower() == "true"
     num_envs = int(kv.pop("num_envs", 1))
 
     cfg_file = ckpt_path.parent.parent / "config.yaml"
@@ -119,8 +126,16 @@ def main(argv=None):
     # --- TPU-env rollout + metrics
     from pbhc_tpu.eval.metrics import episode_length_ratio, eval_accuracy, eval_smoothness
 
+    dash = None
+    if dashboard_flag:
+        from pbhc_tpu.eval.dashboard import DashboardLogger
+
+        dash = DashboardLogger()
+        print(f"[eval] live dashboard at {dash.start()}")
+
     num_steps = int(float(env.motion_lib.data.lengths[0]) / env.dt)
-    traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps, jax.random.PRNGKey(1))
+    traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps, jax.random.PRNGKey(1),
+                                   dashboard=dash)
     acc = eval_accuracy(traj, ref, env.dt)
     smooth = eval_smoothness(traj, env.dt)
     ratio = len(traj["dof_pos"]) / num_steps
