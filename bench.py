@@ -31,15 +31,22 @@ def main():
     )
     env = MotionTrackingEnv(cfg, num_envs, jax.random.PRNGKey(0))
     state = env.init_state(jax.random.PRNGKey(1))
-    step = jax.jit(env.step)
     actions = jnp.zeros((num_envs, env.nd))
 
-    state, obs, rew, done, info = step(state, actions)
-    jax.block_until_ready(rew)
+    # measure the shape training uses: a scanned rollout inside one jit
+    @jax.jit
+    def rollout(state):
+        def body(st, _):
+            st, obs, rew, done, info = env.step(st, actions)
+            return st, rew.sum()
+        state, rews = jax.lax.scan(body, state, None, length=steps)
+        return state, rews.sum()
+
+    state, _ = rollout(state)
+    jax.block_until_ready(state)
     t0 = time.time()
-    for _ in range(steps):
-        state, obs, rew, done, info = step(state, actions)
-    jax.block_until_ready(rew)
+    state, acc = rollout(state)
+    jax.block_until_ready(acc)
     dt = time.time() - t0
     eps = steps * num_envs / dt
 

@@ -18,7 +18,6 @@ files before/after their own content.
 """
 from __future__ import annotations
 
-import ast
 import copy
 import re
 from pathlib import Path

@@ -164,8 +164,6 @@ class MujocoDeployRobot:
 
     def rollout(self, max_steps=None):
         """Run the clip to its end; returns a trajectory dict for metrics."""
-        import mujoco
-
         length = float(self.motion.data.lengths[0])
         steps = max_steps or int(length / self.ctrl_dt)
         traj = {"root_pos": [], "root_rot": [], "dof_pos": [], "body_pos": [], "body_rot": []}

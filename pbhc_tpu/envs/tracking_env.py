@@ -329,9 +329,6 @@ class MotionTrackingEnv:
                             self.engine.default_state())
         kp_s, kd_s, rfi, rao, delay, ddof = self._episodic_dr(k1, N)
         Q = int(self.dr.get("ctrl_delay_step_range", [0, 2])[1]) + 1
-        hist = {}
-        for group, spec in self.history_spec.items():
-            pass
         # per-key ring buffers sized to the max length across aux groups
         key_len: Dict[str, int] = {}
         for spec in self.history_spec.values():
@@ -358,20 +355,34 @@ class MotionTrackingEnv:
             default_dof_pos=ddof,
             push_counter=jnp.zeros((N,), jnp.int32),
             push_interval=self._sample_push_interval(k2, N),
-            average_episode_length=jnp.asarray(0.0),
-            reward_penalty_scale=jnp.asarray(float(self.config.rewards.reward_initial_penalty_scale)),
+            # NOTE: explicit dtype => strong typing, so the stepped state's
+            # avals match the initial state's (weak scalars silently retrace)
+            average_episode_length=jnp.asarray(0.0, dtype=jnp.float32),
+            reward_penalty_scale=jnp.asarray(
+                float(self.config.rewards.reward_initial_penalty_scale), dtype=jnp.float32),
             motion_far_threshold=jnp.asarray(
                 float(self.ecfg.termination_curriculum.terminate_when_motion_far_initial_threshold)
                 if self.ecfg.termination_curriculum.terminate_when_motion_far_curriculum
-                else float(self.ecfg.termination_scales.termination_motion_far_threshold)),
-            dof_far_threshold=jnp.asarray(float(self.ecfg.termination_curriculum.terminate_when_dof_far_curriculum.init)),
-            soft_dof_pos_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_pos_initial_limit)),
-            soft_dof_vel_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_vel_initial_limit)),
-            soft_torque_limit=jnp.asarray(float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_torque_initial_limit)),
-            sdc_alpha=jnp.asarray(float(self.ecfg.soft_dynamic_correction.get("alpha", 0.0))),
+                else float(self.ecfg.termination_scales.termination_motion_far_threshold),
+                dtype=jnp.float32),
+            dof_far_threshold=jnp.asarray(
+                float(self.ecfg.termination_curriculum.terminate_when_dof_far_curriculum.init),
+                dtype=jnp.float32),
+            soft_dof_pos_limit=jnp.asarray(
+                float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_pos_initial_limit),
+                dtype=jnp.float32),
+            soft_dof_vel_limit=jnp.asarray(
+                float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_dof_vel_initial_limit),
+                dtype=jnp.float32),
+            soft_torque_limit=jnp.asarray(
+                float(self.config.rewards.reward_limit.reward_limits_curriculum.soft_torque_initial_limit),
+                dtype=jnp.float32),
+            sdc_alpha=jnp.asarray(
+                float(self.ecfg.soft_dynamic_correction.get("alpha", 0.0)), dtype=jnp.float32),
             noise_curriculum_value=jnp.asarray(
                 float(self.config.obs.noise_initial_value)
-                if bool(self.config.obs.get("add_noise_currculum", False)) else 1.0),
+                if bool(self.config.obs.get("add_noise_currculum", False)) else 1.0,
+                dtype=jnp.float32),
             sigma_values=self.sigma_init,
             sigma_ema=self.sigma_init,
             history=hist,

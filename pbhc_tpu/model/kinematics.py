@@ -43,7 +43,7 @@ def _fk_levels(model: RobotModel, R_root, p_root, R_joint):
     """
     R_local = jnp.asarray(rot.quat_to_matrix(jnp.asarray(model.local_quat, dtype=jnp.float32)))
     local_pos = jnp.asarray(model.local_pos, dtype=jnp.float32)
-    order, pos, parent_pos = _level_order(model)
+    _, pos, parent_pos = _level_order(model)
 
     R_acc = R_root[None]                         # level-sorted accumulation
     p_acc = p_root[None]
@@ -113,7 +113,7 @@ def fk_velocities(model: RobotModel, body_pos, body_R, root_lin_vel, root_ang_ve
     axis_w_d = jnp.einsum("dij,dj->di", body_R[dof_body], axis_local) * dof_vel[:, None]
     twist = jnp.concatenate([axis_w_d, jnp.zeros((1, 3))], axis=0)[slot]  # [B,3]
 
-    order, pos, parent_pos = _level_order(model)
+    _, pos, parent_pos = _level_order(model)
     v_acc = root_lin_vel[None]
     w_acc = root_ang_vel[None]
     for lv, ppos in zip(model.levels, parent_pos):
