@@ -89,6 +89,7 @@ def _resolve_str(s: str, root: dict, depth=0):
             node = node[part]
         return node
 
+    original = s
     # eval resolver: ${eval:'expr'} — expr may itself contain ${...}
     while True:
         m = re.search(r"\$\{eval:\s*'([^']*)'\s*\}", s)
@@ -107,8 +108,8 @@ def _resolve_str(s: str, root: dict, depth=0):
 
     # embedded references -> string substitution
     out = _INTERP.sub(lambda mm: str(_resolve_value(lookup(mm.group(1)), root, depth + 1)), s)
-    if out != s:
-        return _parse_scalar(out)
+    if out != original:
+        return _parse_scalar(out)   # eval/substitution happened -> re-type
     return s
 
 
