@@ -63,9 +63,25 @@ class MHPPO:
 
         a_cfg = c.module_dict.actor.layer_config
         cr_cfg = c.module_dict.critic.layer_config
-        self.actor = GaussianActor(tuple(a_cfg.hidden_dims), self.num_act,
-                                   float(c.init_noise_std), a_cfg.activation)
-        self.critic = Critic(tuple(cr_cfg.hidden_dims), self.num_rew, cr_cfg.activation)
+        phase_type = str(c.get("phase_embed", {}).get("type", "Original"))
+        if phase_type != "Original":
+            # phase-aware nets (reference mh_ppo.py:119-143 + phase_embed config)
+            from pbhc_tpu.agents.networks import PhaseAwareActor, PhaseAwareCritic
+
+            dim = int(c.phase_embed.get("dim", 16))
+            self.actor = PhaseAwareActor(
+                tuple(a_cfg.hidden_dims), self.num_act,
+                phase_pos=env.obs_key_slices("actor_obs")["ref_motion_phase"][0],
+                init_noise_std=float(c.init_noise_std), activation=a_cfg.activation,
+                embed_type=phase_type, embed_dim=dim)
+            self.critic = PhaseAwareCritic(
+                tuple(cr_cfg.hidden_dims), self.num_rew,
+                phase_pos=env.obs_key_slices("critic_obs")["ref_motion_phase"][0],
+                activation=cr_cfg.activation, embed_type=phase_type, embed_dim=dim)
+        else:
+            self.actor = GaussianActor(tuple(a_cfg.hidden_dims), self.num_act,
+                                       float(c.init_noise_std), a_cfg.activation)
+            self.critic = Critic(tuple(cr_cfg.hidden_dims), self.num_rew, cr_cfg.activation)
         self.actor_dim = env.obs_dim("actor_obs")
         self.critic_dim = env.obs_dim("critic_obs")
 

@@ -53,6 +53,62 @@ class Critic(nn.Module):
         return MLP(self.hidden_dims, self.num_values, self.activation)(obs)
 
 
+class PhaseEmbed(nn.Module):
+    """Embedding of the DeepMimic phase scalar (reference config
+    algo.config.phase_embed; the reference's PhaseAware modules are referenced
+    from mh_ppo.py:131-143 but not shipped — this defines the behavior).
+
+    sinusoidal: [sin(2^k pi p), cos(2^k pi p)]_k; learnable: Dense(p)."""
+
+    embed_type: str = "Sinusoidal"   # Sinusoidal | Learnable
+    dim: int = 16
+
+    @nn.compact
+    def __call__(self, phase):       # [..., 1]
+        if self.embed_type == "Learnable":
+            return nn.Dense(self.dim)(phase)
+        k = jnp.arange(self.dim // 2)
+        ang = phase * (2.0**k) * jnp.pi
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class PhaseAwareActor(nn.Module):
+    """GaussianActor that replaces the raw phase scalar with an embedding."""
+
+    hidden_dims: Sequence[int]
+    num_actions: int
+    phase_pos: int
+    init_noise_std: float = 0.8
+    activation: str = "ELU"
+    embed_type: str = "Sinusoidal"
+    embed_dim: int = 16
+
+    @nn.compact
+    def __call__(self, obs):
+        phase = obs[..., self.phase_pos:self.phase_pos + 1]
+        emb = PhaseEmbed(self.embed_type, self.embed_dim)(phase)
+        x = jnp.concatenate([obs, emb], axis=-1)
+        mean = MLP(self.hidden_dims, self.num_actions, self.activation)(x)
+        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std))
+        return mean, jnp.broadcast_to(jnp.abs(std) + 1e-8, mean.shape)
+
+
+class PhaseAwareCritic(nn.Module):
+    hidden_dims: Sequence[int]
+    num_values: int
+    phase_pos: int
+    activation: str = "ELU"
+    embed_type: str = "Sinusoidal"
+    embed_dim: int = 16
+
+    @nn.compact
+    def __call__(self, obs):
+        phase = obs[..., self.phase_pos:self.phase_pos + 1]
+        emb = PhaseEmbed(self.embed_type, self.embed_dim)(phase)
+        return MLP(self.hidden_dims, self.num_values, self.activation)(
+            jnp.concatenate([obs, emb], axis=-1))
+
+
 def gaussian_log_prob(mean, std, actions):
     var = std**2
     return (-0.5 * ((actions - mean) ** 2) / var - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)

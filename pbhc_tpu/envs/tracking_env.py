@@ -79,6 +79,7 @@ class EnvState:
     soft_torque_limit: jax.Array
     sdc_alpha: jax.Array            # soft dynamic correction strength
     noise_curriculum_value: jax.Array  # obs-noise curriculum multiplier
+    noise_ou: jax.Array             # [N,6] OU process state for IMU obs noise
     # adaptive tracking sigma (reference motion_tracking.py:1018-1052)
     sigma_values: jax.Array         # [S] current sigmas (term order static)
     sigma_ema: jax.Array            # [S] error EMAs
@@ -385,6 +386,7 @@ class MotionTrackingEnv:
                 dtype=jnp.float32),
             sigma_values=self.sigma_init,
             sigma_ema=self.sigma_init,
+            noise_ou=jnp.zeros((N, 6)),
             history=hist,
             last_episode_length=jnp.zeros((N,), jnp.int32),
         )
@@ -671,6 +673,16 @@ class MotionTrackingEnv:
         state2 = self._reset_envs(state2, reset_buf, k_reset)
 
         # ---- post-reset obs (recompute quantities for consistency)
+        np_cfg = self.config.obs.get("noise_process")
+        if np_cfg and bool(np_cfg.get("enable", False)):
+            from pbhc_tpu.utils.noise_tool import ou_step
+
+            kw = dict(np_cfg.get("kwargs", {}))
+            noise_ou, _ = ou_step(state2.noise_ou, k_obs, self.dt,
+                                  theta=float(kw.get("theta", 1.0)),
+                                  sigma=float(kw.get("sigma", 1.0)))
+            noise_ou = jnp.where(reset_buf[:, None], 0.0, noise_ou)
+            state2 = dataclasses.replace(state2, noise_ou=noise_ou)
         obs_dict, hist = self._compute_observations(state2, k_obs)
         state3 = dataclasses.replace(
             state2, rng=key, history=hist,
@@ -929,11 +941,32 @@ class MotionTrackingEnv:
 
         phase = jnp.clip(motion_times / state.motion_len, 0.0, 1.05)[:, None]
 
+        # noise-process-corrupted IMU variants (reference legged_robot_base.py:357-380):
+        # OU noise perturbs rpy and world angular velocity; quantities are
+        # recomputed from the noised attitude
+        np_cfg = self.config.obs.get("noise_process")
+        if np_cfg and bool(np_cfg.get("enable", False)):
+            scale = np_cfg.get("scale", {})
+            rpy = rot.get_euler_xyz(base_quat)
+            rpy_noise = rpy + state.noise_ou[:, :3] * float(scale.get("rpy", 1.0)) * (jnp.pi / 180.0)
+            quat_noise = rot.quat_from_euler_xyz(rpy_noise)
+            ang_w_noise = sim.root_ang_vel + state.noise_ou[:, 3:6] * float(scale.get("base_ang_vel", 0.1))
+            base_ang_vel_noise = rot.quat_rotate_inverse(quat_noise, ang_w_noise)
+            projected_gravity_noise = rot.quat_rotate_inverse(
+                quat_noise, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (N, 3)))
+        else:
+            base_ang_vel_noise = base_ang_vel
+            projected_gravity_noise = projected_gravity
+
         getters = {
             "base_pos_z": sim.root_pos[:, 2:3],
             "base_lin_vel": base_lin_vel,
             "base_ang_vel": base_ang_vel,
             "projected_gravity": projected_gravity,
+            "base_ang_vel_noise": base_ang_vel_noise,
+            "projected_gravity_noise": projected_gravity_noise,
+            "dof_pos_noise": sim.dof_pos - state.default_dof_pos,
+            "dof_vel_noise": sim.dof_vel,
             "dof_pos": sim.dof_pos - state.default_dof_pos,
             "dof_vel": sim.dof_vel,
             "actions": state.actions,
@@ -995,13 +1028,21 @@ class MotionTrackingEnv:
 
     def obs_dim(self, group):
         """Static obs dim per group (reference helpers.py:47-80)."""
-        total = 0
-        for name in self.config.obs.obs_dict[group]:
+        return sum(end - start for _, (start, end) in self.obs_key_slices(group).items())
+
+    def obs_key_slices(self, group):
+        """Per-subkey (start, end) slice map within a concatenated obs group
+        (reference helpers.py:16-44, used e.g. by phase-aware networks)."""
+        slices = {}
+        off = 0
+        for name in sorted(self.config.obs.obs_dict[group]):
             if name in self.history_spec:
-                total += sum(self.obs_dims[k] * l for k, l in self.history_spec[name].items())
+                d = sum(self.obs_dims[k] * l for k, l in self.history_spec[name].items())
             else:
-                total += self.obs_dims[name]
-        return total
+                d = self.obs_dims[name]
+            slices[name] = (off, off + d)
+            off += d
+        return slices
 
     # ------------------------------------------------------------------- logs
     def _build_log(self, term, reset_buf, rew_vec, errors, state):
