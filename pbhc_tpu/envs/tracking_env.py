@@ -577,6 +577,22 @@ class MotionTrackingEnv:
                 state.rao_scale, sub_keys, alpha_env,
                 sdc_res["root_pos"], sdc_res["root_rot"], sdc_res["root_vel"],
                 sdc_res["root_ang_vel"], sdc_res["dof_pos"], sdc_res["dof_vel"])
+        elif self.engine.opt.solver == "pallas" and N % 128 == 0:
+            # batched path: the contact solve runs as ONE Pallas kernel over
+            # the env batch instead of vmapped per-env solves
+            keys_b = jax.random.split(k_step, self.decimation)
+
+            def torque_fn_b(st, key):
+                tau = kp_eff * (target - st.dof_pos) - kd_eff * st.dof_vel
+                if self.dr.get("randomize_torque_rfi", False):
+                    noise = jax.random.uniform(key, tau.shape, minval=-1.0, maxval=1.0)
+                    tau = tau + noise * float(self.dr.rfi_lim) * state.rfi_lim_scale * self.torque_limits
+                if self.dr.get("use_rao", False):
+                    tau = tau + state.rao_scale * self.torque_limits
+                return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+            sim, torques = self.engine.control_step_batched(
+                self.sim_params, sim, torque_fn_b, self.decimation, keys_b)
         else:
             def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys):
                 fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)

@@ -425,7 +425,7 @@ class Engine:
             scale = jnp.minimum(1.0, mu * ln[:, None] / jnp.maximum(tn, 1e-9))
             return jnp.concatenate([lt * scale, ln[:, None]], axis=-1) * active[:, None]
 
-        if opt.solver == "apgd":
+        if opt.solver in ("apgd", "pallas"):  # per-env fallback for the pallas solver
             bf = b.reshape(-1)
             # Lipschitz bound: inf-norm row sum of A (cheap, safe)
             L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
@@ -470,11 +470,8 @@ class Engine:
         return u_new, lam
 
     # ----------------------------------------------------------------- stepping
-    def substep(self, params: SimParams, state: SimState, tau: jax.Array):
-        """One physics step (single env): dynamics solve + contact + integrate.
-
-        Returns (state, contact_impulses [K,3], contact_points_body [K]).
-        """
+    def _pre_contact(self, params: SimParams, state: SimState, tau: jax.Array):
+        """Dynamics solve up to (but excluding) the contact impulse solve."""
         opt = self.opt
         p_w, R_w = self._fk(state)
         I_o, Phi_d, Phi_root, _ = self._spatial_quantities(params, p_w, R_w)
@@ -490,15 +487,41 @@ class Engine:
 
         u = jnp.concatenate([state.root_lin_vel, state.root_ang_vel, state.dof_vel])
         u_plus = u + opt.dt * (M_inv @ (tau_full - bias))
+        J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
+        phi = x[:, 2] - self.contact_radius - self.ground_height(x[:, :2])
+        return u_plus, M_inv, J, phi
 
-        if self.K > 0:
-            J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
-            phi = x[:, 2] - self.contact_radius - self.ground_height(x[:, :2])
-            u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
-        else:
-            u_new, lam = u_plus, jnp.zeros((0, 3))
+    def substep_batched(self, params: SimParams, states: SimState, taus: jax.Array):
+        """Batched physics step using the Pallas env-in-lanes contact kernel.
 
-        # integrate (semi-implicit Euler) with velocity safety caps
+        Semantically identical to vmap(substep) with solver='apgd'; the
+        impulse solve runs as ONE kernel over the whole env batch (env count
+        must be a multiple of 128; see pallas_contact.solve_contacts_pallas).
+        """
+        from pbhc_tpu.sim.pallas_contact import solve_contacts_pallas
+
+        opt = self.opt
+        K, nv = self.K, self.nv
+        u_plus, M_inv, J, phi = jax.vmap(self._pre_contact)(params, states, taus)
+        Jf = J.reshape(-1, K * 3, nv)
+        Jf, M_inv = jax.lax.optimization_barrier((Jf, M_inv))
+        A = Jf @ M_inv @ jnp.swapaxes(Jf, -1, -2)
+        A = jax.lax.optimization_barrier(A)
+        active = (phi < opt.contact_margin).astype(jnp.float32)
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
+        v0 = jnp.einsum("nij,nj->ni", Jf, u_plus).reshape(-1, K, 3)
+        b = v0.at[:, :, 2].add(-b_err).reshape(-1, K * 3)
+
+        lam = solve_contacts_pallas(A, b, params.friction, active, iters=opt.solver_iters)
+        imp = jnp.einsum("nji,nj->ni", Jf, lam.reshape(-1, K * 3))
+        u_new = u_plus + jnp.einsum("nij,nj->ni", M_inv, imp)
+        states = jax.vmap(self._integrate)(states, u_new)
+        return states, lam
+
+    def _integrate(self, state: SimState, u_new: jax.Array):
+        """Semi-implicit Euler + velocity caps + hard joint limits (single env)."""
+        opt = self.opt
         v_r, w_r, qd = u_new[:3], u_new[3:6], u_new[6:]
         v_r = jnp.clip(v_r, -opt.max_root_lin_vel, opt.max_root_lin_vel)
         w_r = jnp.clip(w_r, -opt.max_root_ang_vel, opt.max_root_ang_vel)
@@ -512,7 +535,7 @@ class Engine:
             qd = jnp.where(below & (qd < 0), 0.0, qd)
             qd = jnp.where(above & (qd > 0), 0.0, qd)
 
-        new_state = dataclasses.replace(
+        return dataclasses.replace(
             state,
             root_pos=state.root_pos + v_r * opt.dt,
             root_quat=rot.quat_integrate(state.root_quat, w_r, opt.dt),
@@ -521,7 +544,18 @@ class Engine:
             dof_pos=dof_pos,
             dof_vel=qd,
         )
-        return new_state, lam
+
+    def substep(self, params: SimParams, state: SimState, tau: jax.Array):
+        """One physics step (single env): dynamics solve + contact + integrate.
+
+        Returns (state, contact_impulses [K,3]).
+        """
+        u_plus, M_inv, J, phi = self._pre_contact(params, state, tau)
+        if self.K > 0:
+            u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
+        else:
+            u_new, lam = u_plus, jnp.zeros((0, 3))
+        return self._integrate(state, u_new), lam
 
     def contact_forces_from_impulses(self, lam):
         """Scatter per-point impulses to per-body forces [B,3] (world, N)."""
@@ -556,3 +590,28 @@ class Engine:
         lam_acc = lams.sum(axis=0)
         cf = jnp.zeros((self.nb, 3)).at[self.contact_body].add(lam_acc / (self.opt.dt * decimation))
         return self.derived_state(params, state, contact_forces=cf), taus[-1]
+
+    def control_step_batched(self, params: SimParams, states: SimState, torque_fn,
+                             decimation: int, keys=None, pre_substep_fn=None):
+        """Batched control step over the Pallas contact kernel path.
+
+        torque_fn(states, key) -> [N,nd]; states lead with the env axis.
+        """
+        if keys is None:
+            keys = jnp.zeros((decimation, 2), dtype=jnp.uint32)
+
+        def body(st, key):
+            if pre_substep_fn is not None:
+                st = pre_substep_fn(st)
+            tau = torque_fn(st, key)
+            st, lam = self.substep_batched(params, st, tau)
+            return st, (lam, tau)
+
+        states, (lams, taus) = jax.lax.scan(body, states, keys)
+        lam_acc = lams.sum(axis=0)                                    # [N,K,3]
+        N = lam_acc.shape[0]
+        cf = jnp.zeros((N, self.nb, 3)).at[:, self.contact_body].add(
+            lam_acc / (self.opt.dt * decimation))
+        states = jax.vmap(self.derived_state)(params, states)
+        states = dataclasses.replace(states, contact_forces=cf)
+        return states, taus[-1]

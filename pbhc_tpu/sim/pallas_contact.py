@@ -1,0 +1,96 @@
+"""Pallas TPU kernel: batched APGD contact solve, env-in-lanes.
+
+The XLA contact solve iterates 32 batched [3K,3K] matvecs whose tiny minor
+dims pad badly on TPU tiles. This kernel keeps a 128-env tile resident in
+VMEM with the ENV axis in the lanes ([3K, 3K, 128] Delassus tile), so every
+APGD iteration is one fused multiply+reduce over full lanes — zero padding
+waste, no HBM traffic inside the loop.
+
+Interpret mode makes the kernel testable on CPU; `solve_contacts_pallas` is a
+drop-in for the XLA path behind EngineOptions(solver="pallas").
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
+    """One program solves LANES envs.
+
+    A [3K,3K,L], b [3K,L], mu [1,L], active [K,L] -> lam [3K,L].
+    """
+    A = A_ref[0]                                                     # [3K,3K,L]
+    b = b_ref[0]                                                     # [3K,L]
+    mu = mu_ref[0, 0]                                                # [L]
+    active = active_ref[0]                                           # [K,L]
+    n = 3 * K
+
+    # Lipschitz bound: max row abs-sum per env
+    L_const = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)           # [L]
+    inv_L = 1.0 / jnp.maximum(L_const, 1e-6)
+
+    def project(lam):                                                # [3K,L]
+        lam3 = lam.reshape(K, 3, -1)
+        ln = jnp.maximum(lam3[:, 2], 0.0)                            # [K,L]
+        lt = lam3[:, :2]
+        tn = jnp.sqrt(lt[:, 0] ** 2 + lt[:, 1] ** 2)
+        scale = jnp.minimum(1.0, mu[None] * ln / jnp.maximum(tn, 1e-9))
+        out = jnp.concatenate([(lt * scale[:, None]), ln[:, None]], axis=1)
+        return (out * active[:, None]).reshape(n, -1)
+
+    def body(carry, _):
+        x, x_prev, theta = carry
+        theta_new = 0.5 * (jnp.sqrt(theta**4 + 4 * theta**2) - theta**2)
+        beta = theta * (1.0 - theta) / (theta**2 + theta_new)
+        y = x + beta * (x - x_prev)
+        # g = A y + b: multiply+reduce, fully lane-parallel
+        g = jnp.sum(A * y[None, :, :], axis=1) + b                   # [3K,L]
+        x_new = project(y - inv_L[None] * g)
+        return (x_new, x, theta_new), None
+
+    init = (jnp.zeros_like(b), jnp.zeros_like(b), jnp.asarray(1.0, b.dtype))
+    (lam, _, _), _ = jax.lax.scan(body, init, None, length=iters)
+    lam_ref[0] = lam
+
+
+@partial(jax.jit, static_argnames=("iters", "interpret"))
+def solve_contacts_pallas(A, b, mu, active, iters=32, interpret=False):
+    """Batched friction-cone APGD.
+
+    A [N,3K,3K], b [N,3K], mu [N], active [N,K] -> impulses [N,K,3].
+    N must be a multiple of 128 (pad outside if needed).
+    """
+    N, n, _ = A.shape
+    K = n // 3
+    assert N % LANES == 0, f"N={N} must be a multiple of {LANES}"
+    G = N // LANES
+
+    # env-in-lanes layout, grid-major leading axis
+    A_t = jnp.moveaxis(A.reshape(G, LANES, n, n), 1, -1)             # [G,n,n,L]
+    b_t = jnp.moveaxis(b.reshape(G, LANES, n), 1, -1)                # [G,n,L]
+    mu_t = mu.reshape(G, 1, LANES)                                   # [G,1,L]
+    act_t = jnp.moveaxis(active.reshape(G, LANES, K), 1, -1)         # [G,K,L]
+
+    lam = pl.pallas_call(
+        partial(_apgd_kernel, iters=iters, K=K),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, n, n, LANES), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, LANES), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, n, LANES), A.dtype),
+        interpret=interpret,
+    )(A_t, b_t, mu_t, act_t)
+
+    lam = jnp.moveaxis(lam, -1, 1).reshape(N, n)                     # [N,3K]
+    return lam.reshape(N, K, 3)

@@ -1,0 +1,58 @@
+"""Pallas env-in-lanes APGD contact kernel (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    import pbhc_tpu.sim.pallas_contact as pc
+
+    orig = pc.solve_contacts_pallas
+
+    def patched(A, b, mu, active, iters=32, interpret=False):
+        return orig(A, b, mu, active, iters=iters, interpret=True)
+
+    monkeypatch.setattr(pc, "solve_contacts_pallas", patched)
+
+
+def test_kernel_matches_xla_apgd():
+    from pbhc_tpu.model.g1 import load_g1_sim_model
+    from pbhc_tpu.sim.engine import Engine, EngineOptions
+
+    e = Engine(load_g1_sim_model(), EngineOptions(solver="pallas"))
+    N = 128
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape), e.default_params())
+    st = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape),
+                      e.default_state(root_pos=(0.0, 0.0, 0.793)))
+    tau = jnp.zeros((N, e.nd))
+    st_b, lam_b = jax.jit(lambda s, t: e.substep_batched(params, s, t))(st, tau)
+    st_v, lam_v = jax.jit(jax.vmap(e.substep))(params, st, tau)
+    for name in ["root_pos", "root_quat", "root_lin_vel", "root_ang_vel", "dof_pos", "dof_vel"]:
+        np.testing.assert_allclose(np.asarray(getattr(st_b, name)),
+                                   np.asarray(getattr(st_v, name)), atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(lam_b), np.asarray(lam_v), atol=1e-4)
+
+
+def test_env_step_with_pallas_solver():
+    import dataclasses
+
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=128", "simulator.config.solver=pallas",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 128, jax.random.PRNGKey(0))
+    assert env.engine.opt.solver == "pallas"
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((128, env.nd)))
+    assert bool(jnp.isfinite(rew).all())
+    assert bool(jnp.isfinite(obs["actor_obs"]).all())
