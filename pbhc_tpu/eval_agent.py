@@ -45,7 +45,8 @@ def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
         return mean
 
     traj = {"root_pos": [], "root_rot": [], "dof_pos": [], "body_pos": [], "body_rot": [],
-            "contact_mask": []}
+            "contact_mask": [], "dof_vel": [], "root_lin_vel": [], "root_ang_vel": [],
+            "action": []}
     ref = {"root_pos": [], "root_rot": [], "dof_pos": [], "body_pos": [], "body_rot": [],
            "contact_mask": []}
     from pbhc_tpu.motion.motion_lib import get_motion_state
@@ -64,6 +65,10 @@ def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
         traj["body_pos"].append(np.asarray(body_pos[0]))
         traj["body_rot"].append(np.asarray(body_quat[0]))
         traj["contact_mask"].append(np.asarray(state.contacts_filt[0]))
+        traj["dof_vel"].append(np.asarray(sim.dof_vel[0]))
+        traj["root_lin_vel"].append(np.asarray(sim.root_lin_vel[0]))
+        traj["root_ang_vel"].append(np.asarray(sim.root_ang_vel[0]))
+        traj["action"].append(np.asarray(actions[0]))
         ref["root_pos"].append(np.asarray(mres["root_pos"][0]))
         ref["root_rot"].append(np.asarray(mres["root_rot"][0]))
         ref["dof_pos"].append(np.asarray(mres["dof_pos"][0]))
@@ -93,6 +98,7 @@ def main(argv=None):
     ckpt_path = Path(kv.pop("checkpoint"))
     sim2sim = kv.pop("sim2sim", "false").lower() == "true"
     dashboard_flag = kv.pop("dashboard", "false").lower() == "true"
+    save_motion = kv.pop("save_motion", "false").lower() == "true"
     num_envs = int(kv.pop("num_envs", 1))
 
     cfg_file = ckpt_path.parent.parent / "config.yaml"
@@ -155,10 +161,47 @@ def main(argv=None):
               f"final root z={mj_traj['root_pos'][-1, 2]:.3f}")
         results["sim2sim_final_z"] = float(mj_traj["root_pos"][-1, 2])
 
+    # --- optional motion dump in the training-data schema
+    # (reference motion_tracking.py:140-169,860-940 `save_motion`)
+    if save_motion:
+        save_rollout_motion(env, traj, ckpt_path.parent.parent / f"motion_{ckpt_path.stem}.pkl")
+
     out = ckpt_path.parent.parent / f"eval_{ckpt_path.stem}.json"
     out.write_text(json.dumps(results, indent=1))
     print(f"[eval] wrote {out}")
     return results
+
+
+def save_rollout_motion(env, traj, path):
+    """Dump a rollout as a training-format motion pkl
+    (schema per reference motion_lib_base.py:421-441 + rollout extras)."""
+    import joblib
+    from scipy.spatial.transform import Rotation as sRot
+
+    T = len(traj["dof_pos"])
+    axes = np.asarray(env.motion_model.dof_axis)
+    n_extend = env.num_extend
+    root_aa = sRot.from_quat(traj["root_rot"]).as_rotvec()
+    pose_aa = np.concatenate([
+        root_aa[:, None, :],
+        traj["dof_pos"][:, :, None] * axes[None],
+        np.zeros((T, n_extend, 3)),
+    ], axis=1).astype(np.float32)
+    clip = {
+        "root_trans_offset": traj["root_pos"].astype(np.float32),
+        "root_rot": traj["root_rot"].astype(np.float32),
+        "dof": traj["dof_pos"].astype(np.float32),
+        "pose_aa": pose_aa,
+        "fps": int(round(1.0 / env.dt)),
+        "contact_mask": traj["contact_mask"].astype(np.float64),
+        "dof_vel": traj["dof_vel"].astype(np.float32),
+        "root_lin_vel": traj["root_lin_vel"].astype(np.float32),
+        "root_ang_vel": traj["root_ang_vel"].astype(np.float32),
+        "action": traj["action"].astype(np.float32),
+    }
+    joblib.dump({"rollout": clip}, path, compress=3)
+    print(f"[eval] saved rollout motion -> {path}")
+    return path
 
 
 if __name__ == "__main__":
