@@ -612,9 +612,11 @@ class MotionTrackingEnv:
         contacts = (jnp.linalg.norm(feet_cf, axis=-1) > 1.0).astype(jnp.float32)
         contacts_filt = jnp.logical_or(contacts > 0, state.last_contacts > 0).astype(jnp.float32)
 
-        # ---- reference motion at t+1 + extend bodies + diffs
+        # ---- reference motion + extend bodies + diffs. The reference tracks
+        # the NEXT frame: motion_times = (episode_length+1)*dt after the
+        # counter increment ("next frames so +1", motion_tracking.py:554)
         st_tmp = dataclasses.replace(state, episode_length=episode_length, sim=sim)
-        mres, motion_times = self._motion_state_at(st_tmp, 0)  # episode_length already +1
+        mres, motion_times = self._motion_state_at(st_tmp, 1)
         body_pos, body_quat, body_vel, body_ang_vel = self._extend_body_states(sim)
 
         diffs = self._compute_diffs(sim, mres, body_pos, body_quat, body_vel, body_ang_vel)
@@ -649,7 +651,10 @@ class MotionTrackingEnv:
 
         time_out = episode_length > self.max_episode_length
         if tcfg.terminate_when_motion_end:
-            motion_end = motion_times > state.motion_len
+            # reference uses the CURRENT time here, not the +1 target time
+            # (motion_tracking.py:355)
+            current_time = episode_length.astype(jnp.float32) * self.dt + state.motion_start_times
+            motion_end = current_time > state.motion_len
             term["motion_end"] = motion_end
             time_out = time_out | motion_end
         term["time_out"] = time_out
