@@ -77,3 +77,23 @@ class NumpyPolicy:
             if i < len(self.layers) - 1:
                 x = self._elu(x)
         return x
+
+
+def main(argv=None):
+    """`python -m pbhc_tpu.deploy.export info policy.npz` — inspect an export
+    (reference check_model_dims.py)."""
+    import json
+    import sys
+
+    argv = argv or sys.argv[1:]
+    assert argv and argv[0] == "info", "usage: export info <policy.npz>"
+    pol = NumpyPolicy(argv[1])
+    meta = dict(pol.meta)
+    meta["layers"] = [f"{w.shape[0]}x{w.shape[1]}" for w, _ in pol.layers]
+    for k in ("kp", "kd", "torque_limits", "action_scale", "default_dof_pos"):
+        meta[k] = f"[{len(meta[k])} values]"
+    print(json.dumps(meta, indent=1, default=str))
+
+
+if __name__ == "__main__":
+    main()
