@@ -14,7 +14,17 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pbhc_tpu.agents.networks import MLP
+from pbhc_tpu.agents.networks import MLP, MoEMLP
+
+
+def _make_backbone(kind: str, hidden_dims, out_dim, activation,
+                   num_experts: int = 4, top_k: int = 2):
+    """Backbone factory matching the reference's actor_type/critic_type seam
+    (reference ppo_mimic.py:657-672 gates on "MoEMLP")."""
+    if kind == "MoEMLP":
+        return MoEMLP(tuple(hidden_dims), out_dim, num_experts, top_k, activation)
+    assert kind == "MLP", f"unknown backbone type {kind!r}"
+    return MLP(tuple(hidden_dims), out_dim, activation)
 
 _CONV_PLANS = {  # reference encoder_modules.py:62-77
     5: dict(out_channels=[20, 10], kernels=[2, 2], strides=[1, 1]),
@@ -63,6 +73,9 @@ class MimicActor(nn.Module):
     priv_hidden: Sequence[int] = (64,)
     activation: str = "SiLU"
     use_layernorm: bool = True
+    backbone_type: str = "MLP"
+    num_experts: int = 4
+    top_k: int = 2
 
     def setup(self):
         self.motion_encoder = ConvEncoder(self.future_steps, self.future_per_step,
@@ -70,7 +83,9 @@ class MimicActor(nn.Module):
         self.history_encoder = ConvEncoder(self.history_steps, self.history_per_step,
                                            self.history_hidden, self.hist_latent, self.activation)
         self.priv_encoder = MLP(tuple(self.priv_hidden), self.hist_latent, self.activation)
-        self.backbone = MLP(tuple(self.hidden_dims), self.num_actions, self.activation)
+        self.backbone = _make_backbone(self.backbone_type, self.hidden_dims,
+                                       self.num_actions, self.activation,
+                                       self.num_experts, self.top_k)
         if self.use_layernorm:
             self.ln = nn.LayerNorm()
 
@@ -108,13 +123,21 @@ class MimicActorCritic(nn.Module):
     min_sigma: float = 0.2
     max_sigma: float = 1.2
     activation: str = "SiLU"
+    actor_type: str = "MLP"
+    critic_type: str = "MLP"
+    num_experts: int = 4
+    top_k: int = 2
 
     def setup(self):
         self.actor = MimicActor(self.actor_hidden, self.num_actions,
                                 self.future_steps, self.future_per_step,
                                 self.history_steps, self.history_per_step,
-                                activation=self.activation)
-        self.critic = MLP(tuple(self.critic_hidden), self.num_values, self.activation)
+                                activation=self.activation,
+                                backbone_type=self.actor_type,
+                                num_experts=self.num_experts, top_k=self.top_k)
+        self.critic = _make_backbone(self.critic_type, self.critic_hidden,
+                                     self.num_values, self.activation,
+                                     self.num_experts, self.top_k)
         self.critic_ln = nn.LayerNorm()
         self.std_param = self.param("std", lambda k: jnp.full((self.num_actions,), self.init_noise_std))
 

@@ -28,6 +28,50 @@ class MLP(nn.Module):
         return nn.Dense(self.out_dim)(x)
 
 
+class MoEMLP(nn.Module):
+    """Dense-gated mixture-of-experts MLP.
+
+    The reference gates on `actor_type/critic_type == "MoEMLP"` and calls
+    `compute_load_balancing_loss()` (reference humanoidverse/agents/ppo/
+    ppo_mimic.py:657-672) but ships no MoE module — this is the TPU-native
+    realization. All experts evaluate as ONE stacked computation (expert axis
+    lifted with nn.vmap → [E,in,h] weight tensors → a single batched einsum per
+    layer), which keeps the MXU busy and avoids gather/scatter token routing —
+    the right trade at PPO batch sizes where experts are tiny MLPs. Top-k
+    softmax gating mixes expert outputs; the Switch-style load-balance aux loss
+    E·Σ_e f_e·P_e is sown under `intermediates/load_balancing_loss` (collect
+    with `mutable=["intermediates"]`).
+    """
+
+    hidden_dims: Sequence[int]
+    out_dim: int
+    num_experts: int = 4
+    top_k: int = 2
+    activation: str = "ELU"
+
+    @nn.compact
+    def __call__(self, x):
+        E, K = self.num_experts, self.top_k
+        Experts = nn.vmap(
+            MLP, in_axes=None, out_axes=1, axis_size=E,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+        )
+        expert_out = Experts(tuple(self.hidden_dims), self.out_dim,
+                             self.activation, name="experts")(x)      # [N,E,out]
+        logits = nn.Dense(E, name="gate")(x)                          # [N,E]
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_vals, top_idx = jax.lax.top_k(probs, K)
+        weights = top_vals / (top_vals.sum(-1, keepdims=True) + 1e-9)
+        dispatch = jax.nn.one_hot(top_idx, E, dtype=probs.dtype)      # [N,K,E]
+        combine = (weights[..., None] * dispatch).sum(1)              # [N,E]
+        out = jnp.einsum("ne,neo->no", combine, expert_out)
+        # Switch load-balance: fraction dispatched per expert × mean gate prob
+        f = dispatch.sum(1).mean(0) / K                               # [E]
+        p = probs.mean(0)                                             # [E]
+        self.sow("intermediates", "load_balancing_loss", E * jnp.sum(f * p))
+        return out
+
+
 class GaussianActor(nn.Module):
     """MLP mean + state-independent learnable std (reference ppo_modules.py:11-80)."""
 

@@ -75,9 +75,16 @@ class PPOMimic:
         assert self.future_dim % fsteps == 0 and self.history_dim % hsteps == 0
 
         a_cfg = c.module_dict.actor
+        v_cfg = c.module_dict.critic
+        # MoE backbones: reference ppo_mimic.py:657-672 gates a load-balancing
+        # aux loss on actor_type/critic_type == "MoEMLP"
+        self.actor_type = str(a_cfg.layer_config.get("type", "MLP"))
+        self.critic_type = str(v_cfg.layer_config.get("type", "MLP"))
+        self.use_moe = "MoEMLP" in (self.actor_type, self.critic_type)
+        self.lb_alpha = float(c.get("load_balancing_loss_alpha", 1e-2))
         self.net = MimicActorCritic(
             actor_hidden=tuple(a_cfg.layer_config.hidden_dims),
-            critic_hidden=tuple(c.module_dict.critic.layer_config.hidden_dims),
+            critic_hidden=tuple(v_cfg.layer_config.hidden_dims),
             num_actions=self.num_act,
             num_values=1,
             future_steps=fsteps,
@@ -88,6 +95,10 @@ class PPOMimic:
             min_sigma=float(a_cfg.get("min_sigma", 0.2)),
             max_sigma=float(a_cfg.get("max_sigma", 1.2)),
             activation=a_cfg.layer_config.activation,
+            actor_type=self.actor_type,
+            critic_type=self.critic_type,
+            num_experts=int(a_cfg.layer_config.get("num_experts", 4)),
+            top_k=int(a_cfg.layer_config.get("top_k", 2)),
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.max_grad_norm),
@@ -170,19 +181,28 @@ class PPOMimic:
         stage = jnp.clip((iteration.astype(jnp.float32) - s[2]) / s[3], 0.0, 1.0)
         return stage * (s[1] - s[0]) + s[0]
 
+    def _apply_lb(self, p, *args, method):
+        """net.apply that also returns the summed MoE load-balancing aux loss
+        (0 for plain-MLP backbones). Reference ppo_mimic.py:657-672."""
+        if not self.use_moe:
+            return self.net.apply(p, *args, method=method), jnp.float32(0.0)
+        out, vs = self.net.apply(p, *args, method=method, mutable=["intermediates"])
+        lb = sum((jnp.sum(x) for x in jax.tree_util.tree_leaves(vs)), jnp.float32(0.0))
+        return out, lb
+
     def _update_rl(self, carry, batch):
         params, opt, lr, it = carry
 
         def loss_fn(p):
             obs = {k: batch[k] for k in self.OBS_KEYS}
-            mean, std = self.net.apply(p, obs, False, method=MimicActorCritic.act)
+            (mean, std), lb_a = self._apply_lb(p, obs, False, method=MimicActorCritic.act)
             logp = gaussian_log_prob(mean, std, batch["actions"])
             ratio = jnp.exp(logp - batch["logp"])
             adv = batch["advantages"]
             surr = jnp.maximum(-adv * ratio,
                                -adv * jnp.clip(ratio, 1 - self.clip, 1 + self.clip)).mean()
             entropy = gaussian_entropy(std).mean()
-            value = self.net.apply(p, obs, method=MimicActorCritic.evaluate)
+            value, lb_v = self._apply_lb(p, obs, method=MimicActorCritic.evaluate)
             tv, ret = batch["values"], batch["returns"]
             v_clip = tv + jnp.clip(value - tv, -self.clip, self.clip)
             vloss = jnp.maximum((value - ret) ** 2, (v_clip - ret) ** 2).sum(-1).mean()
@@ -195,7 +215,8 @@ class PPOMimic:
             kl = jnp.sum(jnp.log(std / (batch["std"] + 1e-5))
                          + (batch["std"] ** 2 + (batch["mean"] - mean) ** 2) / (2 * std**2) - 0.5,
                          axis=-1).mean()
-            loss = surr - self.entropy_coef * entropy + self.value_loss_coef * vloss + coef * priv_reg
+            loss = (surr - self.entropy_coef * entropy + self.value_loss_coef * vloss
+                    + coef * priv_reg + self.lb_alpha * (lb_a + lb_v))
             return loss, (surr, vloss, entropy, kl, priv_reg)
 
         (loss, (surr, vloss, entropy, kl, priv_reg)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

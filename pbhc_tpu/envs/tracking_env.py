@@ -59,6 +59,7 @@ class EnvState:
     motion_ids: jax.Array           # [N] int32
     motion_start_times: jax.Array   # [N]
     motion_len: jax.Array           # [N]
+    motion_fail_ema: jax.Array      # [M] per-motion failure-rate EMA
 
     # episodic DR (reference legged_robot_base.py:599-635)
     kp_scale: jax.Array             # [N,nd]
@@ -352,6 +353,7 @@ class MotionTrackingEnv:
             motion_ids=jnp.zeros((N,), jnp.int32),
             motion_start_times=jnp.zeros((N,)),
             motion_len=jnp.broadcast_to(self.motion_lib.data.lengths[0], (N,)),
+            motion_fail_ema=jnp.zeros((self.motion_lib.num_unique,), jnp.float32),
             kp_scale=kp_s, kd_scale=kd_s, rfi_lim_scale=rfi, rao_scale=rao,
             default_dof_pos=ddof,
             push_counter=jnp.zeros((N,), jnp.int32),
@@ -411,8 +413,18 @@ class MotionTrackingEnv:
         # clips on device, so per-reset resampling subsumes the reference's
         # periodic resample_motion(), motion_tracking.py:385-389)
         if self.motion_lib.num_unique > 1:
+            probs = self.motion_lib.data.sampling_prob
+            asc = self.ecfg.get("adaptive_motion_sampling")
+            if asc and bool(asc.get("enabled", False)):
+                # hard-motion oversampling: mix uniform with per-motion
+                # failure-rate EMA (a working realization of the reference's
+                # dormant _termination_history/_sampling_prob machinery,
+                # motion_lib_base.py:113-118)
+                umix = float(asc.get("uniform_mix", 0.5))
+                w = state.motion_fail_ema + 1e-3
+                probs = umix * probs + (1.0 - umix) * w / w.sum()
             new_ids = jax.random.categorical(
-                ks[8], jnp.log(self.motion_lib.data.sampling_prob), shape=(N,)).astype(jnp.int32)
+                ks[8], jnp.log(probs), shape=(N,)).astype(jnp.int32)
             motion_ids = jnp.where(mask, new_ids, state.motion_ids)
         else:
             motion_ids = state.motion_ids
@@ -680,10 +692,25 @@ class MotionTrackingEnv:
         # ---- masked reset + curricula
         n_reset = reset_buf.sum()
         avg_epl = self._update_avg_episode_length(state, episode_length, reset_buf, n_reset)
+        # per-motion failure-rate EMA (feeds adaptive_motion_sampling; a
+        # failure = termination not caused by motion end / timeout)
+        motion_fail_ema = state.motion_fail_ema
+        asc = self.ecfg.get("adaptive_motion_sampling")
+        if self.motion_lib.num_unique > 1 and asc and bool(asc.get("enabled", False)):
+            M = self.motion_lib.num_unique
+            g = float(asc.get("gamma", 0.1))
+            resets = jax.ops.segment_sum(reset_buf.astype(jnp.float32), state.motion_ids, M)
+            fails = jax.ops.segment_sum((reset_buf & ~time_out).astype(jnp.float32),
+                                        state.motion_ids, M)
+            rate = fails / jnp.maximum(resets, 1.0)
+            motion_fail_ema = jnp.where(resets > 0,
+                                        (1.0 - g) * motion_fail_ema + g * rate,
+                                        motion_fail_ema)
         state2 = dataclasses.replace(
             state, sim=sim, episode_length=episode_length,
             feet_air_time=feet_air_time,
             average_episode_length=avg_epl,
+            motion_fail_ema=motion_fail_ema,
             sigma_values=sigma_values, sigma_ema=sigma_ema,
             push_counter=push_counter, push_interval=push_interval,
             action_queue=queue, actions=actions, actions_after_delay=after_delay,
@@ -1078,6 +1105,9 @@ class MotionTrackingEnv:
         log["penalty_scale"] = state.reward_penalty_scale
         log["motion_far_threshold"] = state.motion_far_threshold
         log["episode_length_mean"] = state.episode_length.astype(jnp.float32).mean()
+        if self.motion_lib.num_unique > 1:
+            log["motion_fail_ema_mean"] = state.motion_fail_ema.mean()
+            log["motion_fail_ema_max"] = state.motion_fail_ema.max()
         for i, t in enumerate(self.sigma_terms):
             log[f"adp_sigma_{t}"] = state.sigma_values[i]
         return log

@@ -100,6 +100,81 @@ def test_ppo_mimic_modes(env):
             assert is_hist, k
 
 
+def test_moe_backbone_unit():
+    from pbhc_tpu.agents.networks import MoEMLP
+
+    net = MoEMLP((16, 16), 5, num_experts=3, top_k=2, activation="ELU")
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 7))
+    params = net.init(jax.random.PRNGKey(1), x)
+    y, inter = net.apply(params, x, mutable=["intermediates"])
+    assert y.shape == (32, 5)
+    (lb,) = jax.tree_util.tree_leaves(inter)
+    # Switch load-balance loss: 1.0 at perfect balance, <= num_experts
+    assert 0.9 <= float(lb) <= 3.0
+    # sow into a non-mutable collection must be a silent no-op (rollout path)
+    y2 = net.apply(params, x)
+    assert bool(jnp.allclose(y, y2))
+
+
+def test_moe_ppo_mimic(env, multi_motion):
+    from pbhc_tpu.agents.ppo_mimic import PPOMimic
+
+    env_obj, _ = env
+    cfg = compose(
+        CFG_DIR,
+        ["exp=general_tracking", "robot=g1_29dof", "obs=general_tracking_teacher",
+         "rewards=general_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={multi_motion}",
+         "algo.config.num_steps_per_env=4", "algo.config.num_mini_batches=2",
+         "algo.config.num_learning_epochs=1",
+         "algo.config.module_dict.actor.layer_config.type=MoEMLP",
+         "algo.config.module_dict.actor.layer_config.num_experts=3",
+         "algo.config.module_dict.actor.layer_config.top_k=2",
+         "algo.config.module_dict.critic.layer_config.type=MoEMLP"],
+    )
+    algo = PPOMimic(cfg, env_obj)
+    assert algo.use_moe and algo.actor_type == "MoEMLP"
+    ts = algo.init_train_state(jax.random.PRNGKey(7))
+    ts, log = algo.train_iteration(ts)
+    assert np.isfinite(float(log["Loss/surrogate"]))
+    assert np.isfinite(float(log["Loss/value"]))
+
+
+def test_adaptive_motion_sampling(multi_motion):
+    from pbhc_tpu.envs.general_tracking_env import GeneralTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=general_tracking", "robot=g1_29dof", "obs=general_tracking_teacher",
+         "rewards=general_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={multi_motion}",
+         "env.config.adaptive_motion_sampling.enabled=true",
+         "env.config.adaptive_motion_sampling.gamma=0.5"],
+    )
+    env = GeneralTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    state = env.init_state(jax.random.PRNGKey(1))
+    assert state.motion_fail_ema.shape == (2,)
+    step = jax.jit(env.step)
+    # drive hard into failure: large constant actions topple the robot
+    saw_fail = False
+    for i in range(40):
+        state, obs, rew, done, info = step(state, jnp.full((4, 29), 5.0))
+        if float(state.motion_fail_ema.max()) > 0:
+            saw_fail = True
+            break
+    assert saw_fail, "failure EMA never updated despite forced terminations"
+    ema = np.asarray(state.motion_fail_ema)
+    assert (ema >= 0).all() and (ema <= 1).all()
+    # resampling still covers both motions (uniform_mix floor)
+    ids = []
+    key = jax.random.PRNGKey(2)
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        state = env._reset_envs(state, jnp.ones(4, bool), k)
+        ids.append(np.asarray(state.motion_ids))
+    assert set(np.concatenate(ids).tolist()) == {0, 1}
+
+
 def test_distill_mode(env):
     env, cfg = env
     from pbhc_tpu.agents.ppo_mimic import PPOMimic
