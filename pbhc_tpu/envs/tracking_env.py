@@ -113,6 +113,12 @@ class MotionTrackingEnv:
             EngineOptions(dt=self.sim_dt, solver=sim_cfg.get("solver", "apgd"),
                           solver_iters=int(sim_cfg.get("solver_iters", 32))),
         )
+        if self.engine.opt.solver == "lanes":
+            from pbhc_tpu.sim.engine_lanes import LanesEngine
+
+            self.lanes_engine = LanesEngine(self.engine)
+        else:
+            self.lanes_engine = None
         self.nd = self.engine.nd
         self.nb = self.engine.nb
         self.num_extend = len(extend_cfg)
@@ -578,17 +584,59 @@ class MotionTrackingEnv:
                     )
                 return pre
 
-            def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys, a,
-                            tp, tq, tv, ta, td, tdv):
-                fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)
-                pre = make_pre_fn(a, tp, tq, tv, ta, td, tdv)
-                return self.engine.control_step(params, st, fn, self.decimation, keys, pre_substep_fn=pre)
+            if self.engine.opt.solver == "lanes":
+                # batched SDC pre-fn for the env-in-lanes engine path
+                a2 = alpha_env[:, None]
 
-            sim, torques = jax.vmap(env_physics)(
-                self.sim_params, sim, kp_eff, kd_eff, target, state.rfi_lim_scale,
-                state.rao_scale, sub_keys, alpha_env,
-                sdc_res["root_pos"], sdc_res["root_rot"], sdc_res["root_vel"],
-                sdc_res["root_ang_vel"], sdc_res["dof_pos"], sdc_res["dof_vel"])
+                def pre_b(st):
+                    return dataclasses.replace(
+                        st,
+                        root_pos=st.root_pos + a2 * (sdc_res["root_pos"] - st.root_pos),
+                        root_quat=rot.slerp(st.root_quat, sdc_res["root_rot"], a2),
+                        root_lin_vel=st.root_lin_vel + a2 * (sdc_res["root_vel"] - st.root_lin_vel),
+                        root_ang_vel=st.root_ang_vel + a2 * (sdc_res["root_ang_vel"] - st.root_ang_vel),
+                        dof_pos=st.dof_pos + a2 * (sdc_res["dof_pos"] - st.dof_pos),
+                        dof_vel=st.dof_vel + a2 * (sdc_res["dof_vel"] - st.dof_vel),
+                    )
+
+                def torque_fn_sdc(st, key):
+                    tau = kp_eff * (target - st.dof_pos) - kd_eff * st.dof_vel
+                    if self.dr.get("randomize_torque_rfi", False):
+                        noise = jax.random.uniform(key, tau.shape, minval=-1.0, maxval=1.0)
+                        tau = tau + noise * float(self.dr.rfi_lim) * state.rfi_lim_scale * self.torque_limits
+                    if self.dr.get("use_rao", False):
+                        tau = tau + state.rao_scale * self.torque_limits
+                    return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+                sim, torques = self.lanes_engine.control_step_batched(
+                    self.sim_params, sim, torque_fn_sdc, self.decimation,
+                    jax.random.split(k_step, self.decimation), pre_substep_fn=pre_b)
+            else:
+                def env_physics(params, st, kp_e, kd_e, tg, rfi, rao, keys, a,
+                                tp, tq, tv, ta, td, tdv):
+                    fn = lambda s, k: torque_fn(s, k, kp_e, kd_e, tg, rfi, rao)
+                    pre = make_pre_fn(a, tp, tq, tv, ta, td, tdv)
+                    return self.engine.control_step(params, st, fn, self.decimation, keys, pre_substep_fn=pre)
+
+                sim, torques = jax.vmap(env_physics)(
+                    self.sim_params, sim, kp_eff, kd_eff, target, state.rfi_lim_scale,
+                    state.rao_scale, sub_keys, alpha_env,
+                    sdc_res["root_pos"], sdc_res["root_rot"], sdc_res["root_vel"],
+                    sdc_res["root_ang_vel"], sdc_res["dof_pos"], sdc_res["dof_vel"])
+        elif self.engine.opt.solver == "lanes":
+            keys_b = jax.random.split(k_step, self.decimation)
+
+            def torque_fn_l(st, key):
+                tau = kp_eff * (target - st.dof_pos) - kd_eff * st.dof_vel
+                if self.dr.get("randomize_torque_rfi", False):
+                    noise = jax.random.uniform(key, tau.shape, minval=-1.0, maxval=1.0)
+                    tau = tau + noise * float(self.dr.rfi_lim) * state.rfi_lim_scale * self.torque_limits
+                if self.dr.get("use_rao", False):
+                    tau = tau + state.rao_scale * self.torque_limits
+                return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+            sim, torques = self.lanes_engine.control_step_batched(
+                self.sim_params, sim, torque_fn_l, self.decimation, keys_b)
         elif self.engine.opt.solver == "pallas" and N % 128 == 0:
             # batched path: the contact solve runs as ONE Pallas kernel over
             # the env batch instead of vmapped per-env solves

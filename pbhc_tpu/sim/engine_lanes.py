@@ -1,0 +1,471 @@
+"""Env-in-lanes dynamics: the whole physics substep with the ENV axis LAST.
+
+The stock `Engine` math is written per-env and vmapped, which leaves tiny
+matrix dims (3, 6, nv) in the TPU tile minor positions — a [N,24,6,6] tensor
+uses 6x128 lanes out of every 8x128 tile (~4% utilization). This module
+re-expresses the identical math with the env axis in the LANES (last) position
+and the largest structured dim in the sublanes, so every elementwise op and
+every unrolled contraction runs over full 8x128 tiles.
+
+Semantics are bit-for-bit the formulas of `engine.Engine` (reference
+humanoidverse/simulator/isaacgym/isaacgym.py is the behavioral target; see
+engine.py docstrings for the derivation): CRBA mass matrix and RNEA bias in
+root-anchored world-axis spatial coordinates, Gauss-Jordan SPD inverse, APGD
+friction-cone contact solve (optionally the Pallas env-in-lanes kernel —
+whose [3K,3K,L] layout this module produces natively, no transposes).
+
+`LanesEngine.control_step_batched` is a drop-in for
+`Engine.control_step_batched` (env-first pytrees at the boundary).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pbhc_tpu.maths import rotations as rot
+from pbhc_tpu.model.kinematics import _level_order
+from pbhc_tpu.sim.engine import GRAVITY, Engine, SimParams, SimState
+
+
+# --------------------------------------------------------------------- helpers
+# All helpers take component-LEADING arrays ([3,...,N], [3,3,...,N], [4,N]).
+
+def _mm33(A, B):
+    """[3,3,...] @ [3,3,...] with broadcasting over trailing dims."""
+    rows = []
+    for i in range(3):
+        rows.append([sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)])
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def _mm33_t(A, B):
+    """A @ B^T on [3,3,...]."""
+    rows = []
+    for i in range(3):
+        rows.append([sum(A[i][k] * B[j][k] for k in range(3)) for j in range(3)])
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def _mv3(A, v):
+    """[3,3,...] @ [3,...]."""
+    return jnp.stack([sum(A[i][k] * v[k] for k in range(3)) for i in range(3)])
+
+
+def _cross3(a, b):
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def _quat_to_matrix_lanes(q):
+    """q [4,...] xyzw -> R [3,3,...] (same formula as rotations.quat_to_matrix)."""
+    x, y, z, w = q[0], q[1], q[2], q[3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)]),
+        jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)]),
+        jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)]),
+    ])
+
+
+def _quat_integrate_lanes(q, omega, dt):
+    """Lanes twin of rotations.quat_integrate (exp map, Taylor-safe)."""
+    e = omega * dt
+    angle = jnp.sqrt(e[0] ** 2 + e[1] ** 2 + e[2] ** 2)
+    half = 0.5 * angle
+    small = angle < 1e-4
+    k = jnp.where(small, 0.5 - angle * angle / 48.0,
+                  jnp.sin(half) / jnp.maximum(angle, 1e-8))
+    dx, dy, dz, dw = e[0] * k, e[1] * k, e[2] * k, jnp.cos(half)
+    x2, y2, z2, w2 = q[0], q[1], q[2], q[3]
+    out = jnp.stack([
+        dw * x2 + dx * w2 + dy * z2 - dz * y2,
+        dw * y2 - dx * z2 + dy * w2 + dz * x2,
+        dw * z2 + dx * y2 - dy * x2 + dz * w2,
+        dw * w2 - dx * x2 - dy * y2 - dz * z2,
+    ])
+    return out / jnp.sqrt(jnp.sum(out * out, axis=0, keepdims=True))
+
+
+def _spd_inverse_lanes(M):
+    """Gauss-Jordan SPD inverse on [n,n,N] (see engine.spd_inverse)."""
+    n = M.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype)[:, :, None], M.shape)
+    X = jnp.concatenate([M, eye], axis=1)                      # [n,2n,N]
+    for j in range(n):
+        piv = X[j, j]                                          # [N]
+        row = X[j] / piv                                       # [2n,N]
+        col = X[:, j]                                          # [n,N]
+        X = X - col[:, None] * row[None]
+        X = X.at[j].set(row)
+    return X[:, n:]                                            # [n,n,N]
+
+
+class LanesEngine:
+    """Env-axis-last twin of `Engine` (shares its static model data/options)."""
+
+    def __init__(self, engine: Engine):
+        self.e = engine
+        self.opt = engine.opt
+        model = engine.model
+        self.nb, self.nd, self.nv, self.K = engine.nb, engine.nd, engine.nv, engine.K
+
+        # Rodrigues constants per dof: R(θ) = cI + sK + (1-c) aaᵀ, as [3,3,nd]
+        axis = np.asarray(model.dof_axis, dtype=np.float32)    # [nd,3]
+        K_sk = np.zeros((self.nd, 3, 3), np.float32)
+        K_sk[:, 0, 1], K_sk[:, 0, 2] = -axis[:, 2], axis[:, 1]
+        K_sk[:, 1, 0], K_sk[:, 1, 2] = axis[:, 2], -axis[:, 0]
+        K_sk[:, 2, 0], K_sk[:, 2, 1] = -axis[:, 1], axis[:, 0]
+        P = np.einsum("di,dj->dij", axis, axis)
+        self._K = jnp.asarray(np.moveaxis(K_sk, 0, -1))        # [3,3,nd]
+        self._P = jnp.asarray(np.moveaxis(P, 0, -1))           # [3,3,nd]
+        self._axis = jnp.asarray(axis.T)                       # [3,nd]
+
+        R_local = np.asarray(
+            rot.quat_to_matrix(jnp.asarray(model.local_quat, dtype=jnp.float32)))
+        self._R_local = jnp.asarray(np.moveaxis(R_local, 0, -1))   # [3,3,B]
+        self._local_pos = jnp.asarray(
+            np.asarray(model.local_pos, dtype=np.float32).T)       # [3,B]
+
+        _, pos, parent_pos = _level_order(model)
+        self._levels = [np.asarray(lv) for lv in model.levels]
+        self._parent_pos = [np.asarray(p) for p in parent_pos]
+        self._pos = np.asarray(pos)
+        self._joint_slot = np.asarray(engine.joint_slot)
+        self._dof_body = np.asarray(model.dof_body)
+        self._parent = np.asarray(model.parent[: self.nb])
+
+        self._subtree = engine.subtree                         # [B,B] static 0/1
+        self._dof_anc_mask = engine.dof_anc[:, :, None]        # [nd,nd,1]
+        self._contact_anc = engine.contact_anc                 # [K,nd]
+        self._contact_body = np.asarray(engine.contact_body)
+        self._contact_pos = jnp.asarray(np.asarray(engine.contact_pos).T)  # [3,K]
+        self._contact_radius = engine.contact_radius[:, None]  # [K,1]
+        self._dof_limits = engine.dof_limits                   # [nd,2]
+
+    # ------------------------------------------------------------------ FK
+    def _fk(self, dof_pos, root_quat, root_pos):
+        """dof_pos [nd,N], root_quat [4,N], root_pos [3,N]
+        -> p_w [3,B,N], R_w [3,3,B,N] (body order, world frame)."""
+        N = dof_pos.shape[-1]
+        c, s = jnp.cos(dof_pos), jnp.sin(dof_pos)              # [nd,N]
+        Rj = (jnp.eye(3)[:, :, None, None] * c
+              + self._K[:, :, :, None] * s
+              + self._P[:, :, :, None] * (1.0 - c))            # [3,3,nd,N]
+        ident = jnp.broadcast_to(jnp.eye(3)[:, :, None, None], (3, 3, 1, N))
+        Rj_all = jnp.concatenate([Rj, ident], axis=2)[:, :, self._joint_slot]  # [3,3,B,N]
+
+        R_acc = _quat_to_matrix_lanes(root_quat)[:, :, None]   # [3,3,1,N]
+        p_acc = root_pos[:, None]                              # [3,1,N]
+        for lv, ppos in zip(self._levels, self._parent_pos):
+            Rp = R_acc[:, :, ppos]                             # [3,3,L,N]
+            Rl = self._R_local[:, :, lv][..., None]            # [3,3,L,1]
+            lp = self._local_pos[:, lv][:, :, None]            # [3,L,1]
+            A = _mm33(Rp, Rl)
+            R_new = _mm33(A, Rj_all[:, :, lv])
+            p_new = _mv3(Rp, lp) + p_acc[:, ppos]
+            R_acc = jnp.concatenate([R_acc, R_new], axis=2)
+            p_acc = jnp.concatenate([p_acc, p_new], axis=1)
+        return p_acc[:, self._pos], R_acc[:, :, self._pos]
+
+    # --------------------------------------------------------- spatial algebra
+    def _spatial_quantities(self, paramsT, p_w, R_w):
+        """I_o [6,6,B,N], Phi_d [6,nd,N] about the root body origin
+        (see engine._spatial_quantities for the derivation)."""
+        massT, comT, inertiaT = paramsT["mass"], paramsT["com"], paramsT["inertia"]
+        p_rel = p_w - p_w[:, :1]                               # [3,B,N]
+        c_w = p_rel + _mv3(R_w, comT)                          # [3,B,N]
+        I_c = _mm33_t(_mm33(R_w, inertiaT), R_w)               # [3,3,B,N]
+
+        zero = jnp.zeros_like(c_w[0])
+        ch = jnp.stack([
+            jnp.stack([zero, -c_w[2], c_w[1]]),
+            jnp.stack([c_w[2], zero, -c_w[0]]),
+            jnp.stack([-c_w[1], c_w[0], zero]),
+        ])                                                     # [3,3,B,N]
+        m = massT[None, None]                                  # [1,1,B,N]
+        I_ang = I_c + m * _mm33_t(ch, ch)
+        m_ch = m * ch
+        m_eye = m * jnp.eye(3)[:, :, None, None]
+        top = jnp.concatenate([I_ang, m_ch], axis=1)           # [3,6,B,N]
+        bot = jnp.concatenate([-m_ch, m_eye], axis=1)          # skew(c)ᵀ = -skew(c)
+        I_o = jnp.concatenate([top, bot], axis=0)              # [6,6,B,N]
+
+        R_d = R_w[:, :, self._dof_body]                        # [3,3,nd,N]
+        axis_w = _mv3(R_d, self._axis[:, :, None])             # [3,nd,N]
+        anchor = p_rel[:, self._dof_body]                      # [3,nd,N]
+        Phi_d = jnp.concatenate([axis_w, _cross3(anchor, axis_w)], axis=0)  # [6,nd,N]
+        return I_o, Phi_d, p_rel, c_w
+
+    @staticmethod
+    def _swap6(x):
+        """Apply Phi_root = [[0,I],[I,0]] (root anchored at itself): swap the
+        first and last 3 rows of a [6,...] spatial array."""
+        return jnp.concatenate([x[3:], x[:3]], axis=0)
+
+    def _mass_matrix(self, paramsT, I_o, Phi_d):
+        """CRBA -> M [nv,nv,N] (engine.mass_matrix, lanes layout)."""
+        nd = self.nd
+        # composite inertia: contraction over child bodies (static 0/1 mask)
+        I_comp = jnp.einsum("bc,ijcn->ijbn", self._subtree, I_o)   # [6,6,B,N]
+        I_comp_d = I_comp[:, :, self._dof_body]                    # [6,6,nd,N]
+        F = sum(I_comp_d[:, j] * Phi_d[j][None] for j in range(6))  # [6,nd,N]
+
+        M_dd_full = sum(Phi_d[a][:, None] * F[a][None] for a in range(6))  # [nd,nd,N]
+        M_dd = jnp.where(self._dof_anc_mask > 0, M_dd_full, 0.0)
+        M_dd = M_dd + jnp.swapaxes(M_dd, 0, 1) \
+            - M_dd * jnp.eye(nd)[:, :, None]
+        M_dd = M_dd + jnp.eye(nd)[:, :, None] * paramsT["armature"][None]
+
+        M_rd = self._swap6(F)                                      # [6,nd,N]
+        I0 = I_comp[:, :, 0]                                       # [6,6,N]
+        M_rr = self._swap6(jnp.swapaxes(self._swap6(I0), 0, 1))    # S I0 S
+        top = jnp.concatenate([M_rr, M_rd], axis=1)                # [6,nv,N]
+        bot = jnp.concatenate([jnp.swapaxes(M_rd, 0, 1), M_dd], axis=1)
+        return jnp.concatenate([top, bot], axis=0)                 # [nv,nv,N]
+
+    @staticmethod
+    def _cross_motion(a, b):
+        w = _cross3(a[:3], b[:3])
+        v = _cross3(a[:3], b[3:]) + _cross3(a[3:], b[:3])
+        return jnp.concatenate([w, v], axis=0)
+
+    @staticmethod
+    def _cross_force(a, f):
+        n = _cross3(a[:3], f[:3]) + _cross3(a[3:], f[3:])
+        fo = _cross3(a[:3], f[3:])
+        return jnp.concatenate([n, fo], axis=0)
+
+    def _bias_forces(self, stateT, I_o, Phi_d):
+        """RNEA with qdd=0 -> bias [nv,N] (engine.bias_forces, lanes layout)."""
+        N = stateT["qd"].shape[-1]
+        v_root = jnp.concatenate([stateT["rw"], stateT["rv"]], axis=0)   # [w;v_o]
+        g_acc = jnp.concatenate(
+            [jnp.zeros((3, N)),
+             _cross3(stateT["rv"], stateT["rw"])
+             + jnp.asarray([0.0, 0.0, GRAVITY])[:, None]], axis=0)       # [6,N]
+
+        twist_d = Phi_d * stateT["qd"][None]                             # [6,nd,N]
+        twist = jnp.concatenate([twist_d, jnp.zeros((6, 1, N))], axis=1)[:, self._joint_slot]
+
+        v_acc = v_root[:, None]                                          # [6,1,N]
+        a_acc = g_acc[:, None]
+        for lv, ppos in zip(self._levels, self._parent_pos):
+            vj = twist[:, lv]
+            v_new = v_acc[:, ppos] + vj
+            a_new = a_acc[:, ppos] + self._cross_motion(v_new, vj)
+            v_acc = jnp.concatenate([v_acc, v_new], axis=1)
+            a_acc = jnp.concatenate([a_acc, a_new], axis=1)
+        v = v_acc[:, self._pos]                                          # [6,B,N]
+        a = a_acc[:, self._pos]
+
+        Iv = sum(I_o[:, j] * v[j][None] for j in range(6))               # [6,B,N]
+        Ia = sum(I_o[:, j] * a[j][None] for j in range(6))
+        f = Ia + self._cross_force(v, Iv)                                # [6,B,N]
+        f_sub = jnp.einsum("bc,icn->ibn", self._subtree, f)              # [6,B,N]
+        bias_d = jnp.sum(Phi_d * f_sub[:, self._dof_body], axis=0)       # [nd,N]
+        bias_root = self._swap6(f_sub[:, 0])                             # [6,N]
+        return jnp.concatenate([bias_root, bias_d], axis=0)              # [nv,N]
+
+    # ------------------------------------------------------------------ contact
+    def _contact_jacobian(self, p_w, R_w, Phi_d, p_rel):
+        """Jf [3K? -> [K3, nv, N] flat rows (k-major), x [3,K,N] absolute."""
+        K, nv, nd = self.K, self.nv, self.nd
+        N = p_w.shape[-1]
+        Rk = R_w[:, :, self._contact_body]                         # [3,3,K,N]
+        x = p_w[:, self._contact_body] + _mv3(Rk, self._contact_pos[:, :, None])
+        x_rel = x - p_w[:, :1]                                     # [3,K,N]
+
+        # dof columns: Phi_v + Phi_w x x_rel -> [3,K,nd,N]; the ancestry mask
+        # is applied on the flattened Jacobian by the caller
+        w_part = Phi_d[:3][:, None]                                # [3,1,nd,N]
+        v_part = Phi_d[3:][:, None]
+        xk = x_rel[:, :, None]                                     # [3,K,1,N]
+        Jd = v_part + _cross3(w_part, xk)
+
+        # root columns: v cols = identity; w cols = e_c x x_rel
+        eye = jnp.eye(3)
+        Jr_v = jnp.broadcast_to(eye[:, None, :, None], (3, K, 3, N))        # [3,K,3,N]
+        e_cols = jnp.broadcast_to(eye[:, None, :, None], (3, 1, 3, 1))
+        Jr_w = _cross3(e_cols, x_rel[:, :, None])                            # [3,K,3,N]
+        J = jnp.concatenate([Jr_v, Jr_w, Jd], axis=2)              # [3,K,nv,N]
+        Jf = jnp.moveaxis(J, 0, 1).reshape(K * 3, nv, N)           # rows (k,comp)
+        return Jf, x
+
+    def _ground_height(self, xy):
+        """xy [2,K,N] -> [K,N] (bilinear heightfield or flat plane)."""
+        e = self.e
+        if e.terrain_hf is None:
+            return jnp.zeros(xy.shape[1:])
+        hf = e.terrain_hf
+        i = jnp.clip(xy[0] / e.terrain_hscale, 0.0, hf.shape[0] - 1.001)
+        j = jnp.clip(xy[1] / e.terrain_hscale, 0.0, hf.shape[1] - 1.001)
+        i0, j0 = jnp.floor(i).astype(jnp.int32), jnp.floor(j).astype(jnp.int32)
+        fi, fj = i - i0, j - j0
+        return (hf[i0, j0] * (1 - fi) * (1 - fj) + hf[i0, j0 + 1] * (1 - fi) * fj
+                + hf[i0 + 1, j0] * fi * (1 - fj) + hf[i0 + 1, j0 + 1] * fi * fj)
+
+    # ------------------------------------------------------------------ substep
+    def _substep(self, paramsT, stateT, tauT):
+        """One physics step, all arrays env-last. Returns (stateT, lam [K3,N])."""
+        opt = self.opt
+        nv, K = self.nv, self.K
+        N = tauT.shape[-1]
+
+        p_w, R_w = self._fk(stateT["q"], stateT["rq"], stateT["rp"])
+        I_o, Phi_d, p_rel, _ = self._spatial_quantities(paramsT, p_w, R_w)
+        M = self._mass_matrix(paramsT, I_o, Phi_d)
+        bias = self._bias_forces(stateT, I_o, Phi_d)
+
+        qd0 = stateT["qd"]
+        tau_passive = (-paramsT["dof_damping"] * qd0
+                       - paramsT["dof_frictionloss"] * jnp.tanh(qd0 / 0.05))
+        tau_full = jnp.concatenate([jnp.zeros((6, N)), tauT + tau_passive], axis=0)
+
+        M_inv = _spd_inverse_lanes(M)                              # [nv,nv,N]
+        u = jnp.concatenate([stateT["rv"], stateT["rw"], qd0], axis=0)  # [nv,N]
+        rhs = tau_full - bias
+        u_plus = u + opt.dt * jnp.sum(M_inv * rhs[None], axis=1)
+
+        Jf, x = self._contact_jacobian(p_w, R_w, Phi_d, p_rel)
+        # re-apply ancestry mask at the flat level (see note in _contact_jacobian)
+        anc = jnp.concatenate(
+            [jnp.ones((K, 6)), self._contact_anc], axis=1)         # [K,nv]
+        anc = jnp.repeat(anc, 3, axis=0)[:, :, None]               # [K3,nv,1]
+        Jf = Jf * anc
+        phi = x[2] - self._contact_radius - self._ground_height(x[:2])  # [K,N]
+
+        # Delassus and contact solve (APGD; see engine._solve_contacts)
+        Jf_b, M_inv_b = jax.lax.optimization_barrier((Jf, M_inv))
+        JM = jnp.einsum("avn,vwn->awn", Jf_b, M_inv_b)             # [K3,nv,N]
+        A = jnp.einsum("awn,bwn->abn", JM, Jf_b)                   # [K3,K3,N]
+        A = jax.lax.optimization_barrier(A)
+
+        active = (phi < opt.contact_margin).astype(jnp.float32)    # [K,N]
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
+        v0 = jnp.sum(Jf * u_plus[None], axis=1).reshape(K, 3, N)   # [K,3,N]
+        b = v0.at[:, 2].add(-b_err).reshape(K * 3, N)
+
+        lam = self._apgd(A, b, paramsT["friction"], active)        # [K3,N]
+        imp = jnp.sum(Jf * lam[:, None], axis=0)                   # [nv,N]
+        u_new = u_plus + jnp.sum(M_inv * imp[None], axis=1)
+        return self._integrate(stateT, u_new), lam
+
+    def _apgd(self, A, b, mu, active):
+        """Accelerated projected gradient on the contact QP, env-last.
+        A [K3,K3,N], b [K3,N], mu [N], active [K,N] -> lam [K3,N]."""
+        opt = self.opt
+        K = self.K
+        L_const = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0), 1e-6)
+        inv_L = 1.0 / L_const                                      # [N]
+
+        def project(lam):
+            lam3 = lam.reshape(K, 3, -1)
+            ln = jnp.maximum(lam3[:, 2], 0.0)
+            tn = jnp.sqrt(lam3[:, 0] ** 2 + lam3[:, 1] ** 2)
+            scale = jnp.minimum(1.0, mu[None] * ln / jnp.maximum(tn, 1e-9))
+            out = jnp.stack([lam3[:, 0] * scale, lam3[:, 1] * scale, ln], axis=1)
+            return (out * active[:, None]).reshape(K * 3, -1)
+
+        def body(carry, _):
+            x, x_prev, theta = carry
+            theta_new = 0.5 * (jnp.sqrt(theta**4 + 4 * theta**2) - theta**2)
+            beta = theta * (1.0 - theta) / (theta**2 + theta_new)
+            y = x + beta * (x - x_prev)
+            g = jnp.sum(A * y[None], axis=1) + b
+            x_new = project(y - inv_L[None] * g)
+            return (x_new, x, theta_new), None
+
+        init = (jnp.zeros_like(b), jnp.zeros_like(b), jnp.asarray(1.0, b.dtype))
+        (lam, _, _), _ = jax.lax.scan(body, init, None, length=opt.solver_iters)
+        return lam
+
+    def _integrate(self, stateT, u_new):
+        """Semi-implicit Euler + caps + hard joint limits (engine._integrate)."""
+        opt = self.opt
+        v_r = jnp.clip(u_new[:3], -opt.max_root_lin_vel, opt.max_root_lin_vel)
+        w_r = jnp.clip(u_new[3:6], -opt.max_root_ang_vel, opt.max_root_ang_vel)
+        qd = jnp.clip(u_new[6:], -opt.max_dof_vel, opt.max_dof_vel)
+        dof_pos = stateT["q"] + qd * opt.dt
+        if opt.joint_limits:
+            lo = self._dof_limits[:, 0][:, None]
+            hi = self._dof_limits[:, 1][:, None]
+            below, above = dof_pos < lo, dof_pos > hi
+            dof_pos = jnp.clip(dof_pos, lo, hi)
+            qd = jnp.where(below & (qd < 0), 0.0, qd)
+            qd = jnp.where(above & (qd > 0), 0.0, qd)
+        return dict(
+            rp=stateT["rp"] + v_r * opt.dt,
+            rq=_quat_integrate_lanes(stateT["rq"], w_r, opt.dt),
+            rv=v_r, rw=w_r, q=dof_pos, qd=qd,
+        )
+
+    # ------------------------------------------------------------- control step
+    @staticmethod
+    def _to_lanes(states: SimState):
+        return dict(
+            rp=states.root_pos.T, rq=states.root_quat.T,
+            rv=states.root_lin_vel.T, rw=states.root_ang_vel.T,
+            q=states.dof_pos.T, qd=states.dof_vel.T,
+        )
+
+    def control_step_batched(self, params: SimParams, states: SimState, torque_fn,
+                             decimation: int, keys=None, pre_substep_fn=None):
+        """Drop-in for Engine.control_step_batched (env-first boundary).
+
+        torque_fn(states_env_first, key) -> [N,nd]; pre_substep_fn optional
+        (soft dynamic correction hook, reference motion_tracking.py:772-853).
+        """
+        e = self.e
+        N = states.root_pos.shape[0]
+        if keys is None:
+            keys = jnp.zeros((decimation, 2), dtype=jnp.uint32)
+
+        paramsT = dict(
+            mass=params.mass.T,
+            com=jnp.moveaxis(params.com, 0, -1),                  # [N,B,3]->[B,3,N]
+            inertia=jnp.moveaxis(params.inertia, 0, -1),          # [N,B,3,3]->[B,3,3,N]
+            friction=params.friction,                             # [N]
+            armature=params.armature.T,                           # [nd,N]
+            dof_damping=params.dof_damping.T,
+            dof_frictionloss=params.dof_frictionloss.T,
+        )
+        # component-leading rearrangement for com/inertia: want [3,B,N]/[3,3,B,N]
+        paramsT["com"] = jnp.moveaxis(paramsT["com"], 1, 0)       # [3,B,N]
+        paramsT["inertia"] = jnp.moveaxis(
+            jnp.moveaxis(paramsT["inertia"], 2, 0), 2, 1)         # [3,3,B,N]
+
+        def view(stT):
+            """env-first SimState view for the torque/pre callbacks (body
+            caches are the stale pre-step ones, matching Engine semantics)."""
+            return dataclasses.replace(
+                states,
+                root_pos=stT["rp"].T, root_quat=stT["rq"].T,
+                root_lin_vel=stT["rv"].T, root_ang_vel=stT["rw"].T,
+                dof_pos=stT["q"].T, dof_vel=stT["qd"].T,
+            )
+
+        def body(stT, key):
+            if pre_substep_fn is not None:
+                st = pre_substep_fn(view(stT))
+                stT = self._to_lanes(st)
+            tau = torque_fn(view(stT), key)                        # [N,nd]
+            stT, lam = self._substep(paramsT, stT, tau.T)
+            return stT, (lam, tau)
+
+        stT, (lams, taus) = jax.lax.scan(body, self._to_lanes(states), keys)
+        lam_acc = jnp.moveaxis(lams.sum(axis=0), -1, 0).reshape(N, self.K, 3)
+        cf = jnp.zeros((N, self.nb, 3)).at[:, self._contact_body].add(
+            lam_acc / (self.opt.dt * decimation))
+        out = view(stT)
+        out = jax.vmap(e.derived_state)(params, out)
+        out = dataclasses.replace(out, contact_forces=cf)
+        return out, taus[-1]
