@@ -5,9 +5,16 @@
 * `convert_29dof_to_23dof`: strip wrist DoFs (reference convert_29dof_to_23dof.py).
 * contact-mask recompute helper lives in pbhc_tpu.motion.package.
 
+* `lafan_to_pkl`: LAFAN-style CSV -> motion pkl (reference motion_source/
+  convert_lafan_pkl.py).
+* `compute_contact_mask`: FK-based foot contact detection (reference
+  motion_source/count_pkl_contact_mask.py).
+
 CLI:
     python -m pbhc_tpu.motion.tools interp in.pkl out.pkl [lead_in_s=0.5] [lead_out_s=0.5]
     python -m pbhc_tpu.motion.tools 29to23 in.pkl out.pkl
+    python -m pbhc_tpu.motion.tools lafan in.csv out.pkl [start=0] [end=N] [fps=30]
+    python -m pbhc_tpu.motion.tools contact_mask in.pkl out.pkl [vel_thres=] [height_thres=]
 """
 from __future__ import annotations
 
@@ -99,10 +106,76 @@ def convert_29dof_to_23dof(clip: dict):
     return new
 
 
+def lafan_to_pkl(csv_path: str, start=0, end=None, fps=30):
+    """LAFAN-style CSV -> motion dict (reference motion_source/
+    convert_lafan_pkl.py:8-39): rows are [root_trans(3), root_quat xyzw(4),
+    dof(29)]; wrist dofs are dropped (19:22 and 26:29 in the 29-dof order) and
+    pose_aa is rebuilt as [root_aa, axis*dof, zeros(extend)]."""
+    data = np.genfromtxt(csv_path, delimiter=",").astype(np.float32)[start:end]
+    root_trans = data[:, :3]
+    root_qua = data[:, 3:7]
+    dof = data[:, 7:]
+    dof_new = np.concatenate([dof[:, :19], dof[:, 22:26]], axis=1)
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+
+    model = load_g1_motion_model()
+    axes = np.asarray(model.dof_axis, dtype=np.float32)[: dof_new.shape[1]]
+    root_aa = sRot.from_quat(root_qua).as_rotvec().astype(np.float32)
+    pose_aa = np.concatenate(
+        [root_aa[:, None], axes[None] * dof_new[:, :, None],
+         np.zeros((len(data), 3, 3), np.float32)], axis=1)
+    return {
+        "root_trans_offset": root_trans,
+        "pose_aa": pose_aa.astype(np.float32),
+        "dof": dof_new.astype(np.float32),
+        "root_rot": root_qua,
+        "fps": fps,
+    }
+
+
+def compute_contact_mask(clip: dict, vel_thres=0.002, height_thres=0.12):
+    """Foot-contact detection from FK'd ankle positions (reference
+    motion_source/count_pkl_contact_mask.py:18-37): contact when the squared
+    frame-to-frame ankle displacement < vel_thres AND height < height_thres;
+    frame 0 forced to contact. Returns the clip with a [T,2] contact_mask
+    (L, R order, matching the reference)."""
+    import jax
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.model.kinematics import fk_pose_aa
+
+    model = load_g1_motion_model()
+    names = list(model.body_names)
+    fid = [next(i for i, n in enumerate(names) if s in n and "ankle_roll" in n)
+           for s in ("left", "right")]
+    pose_aa = np.asarray(clip["pose_aa"], dtype=np.float32)
+    trans = np.asarray(clip["root_trans_offset"], dtype=np.float32)
+    p, _ = jax.vmap(lambda pa, t: fk_pose_aa(model, pa, t))(pose_aa, trans)
+    feet = np.asarray(p[:, fid])                                   # [T,2,3]
+
+    d2 = ((feet[1:] - feet[:-1]) ** 2).sum(-1)                     # [T-1,2]
+    low = feet[1:, :, 2] < height_thres
+    mask = ((d2 < vel_thres) & low).astype(np.float32)
+    mask = np.concatenate([np.ones((1, 2), np.float32), mask], axis=0)
+    new = dict(clip)
+    new["contact_mask"] = mask
+    return new
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     cmd, src, dst = argv[0], argv[1], argv[2]
     kv = dict(a.split("=", 1) for a in argv[3:])
+    if cmd == "lafan":
+        name = src.rsplit("/", 1)[-1].removesuffix(".csv")
+        start = int(kv.get("start", 0))
+        end = int(kv["end"]) if "end" in kv else None
+        clip = lafan_to_pkl(src, start, end, fps=int(kv.get("fps", 30)))
+        joblib.dump({f"{name}_{start}_{end if end is not None else 'end'}": clip},
+                    dst, compress=3)
+        print(f"wrote {dst}")
+        return
     data = joblib.load(src)
     out = {}
     for k, clip in data.items():
@@ -120,6 +193,12 @@ def main(argv=None):
                 lead_out_s=float(kv.get("lead_out_s", 0.5)))
         elif cmd == "29to23":
             out[k] = convert_29dof_to_23dof(clip)
+        elif cmd == "contact_mask":
+            out[k] = compute_contact_mask(
+                clip, vel_thres=float(kv.get("vel_thres", 0.002)),
+                height_thres=float(kv.get("height_thres", 0.12)))
+            on = out[k]["contact_mask"].mean(0)
+            print(f"{k}: contact fraction L={on[0]:.2f} R={on[1]:.2f}")
         else:
             raise SystemExit(f"unknown command {cmd}")
     joblib.dump(out, dst, compress=3)

@@ -51,3 +51,35 @@ def test_vis_motion_gif(ref_motion_path, tmp_path):
     import os
 
     assert os.path.getsize(out) > 10000
+
+
+def test_compute_contact_mask(clip):
+    from pbhc_tpu.motion.tools import compute_contact_mask
+
+    out = compute_contact_mask(clip)
+    cm = out["contact_mask"]
+    assert cm.shape == (clip["dof"].shape[0], 2)
+    assert (cm[0] == 1).all()                       # frame 0 forced contact
+    assert set(np.unique(cm)).issubset({0.0, 1.0})
+    # horse stance keeps both feet mostly planted; broad agreement with the
+    # (hand-edited) shipped mask
+    ref = np.asarray(clip["contact_mask"])
+    assert (cm == ref).mean() > 0.6
+
+
+def test_lafan_to_pkl(tmp_path):
+    from pbhc_tpu.motion.tools import lafan_to_pkl
+
+    T = 12
+    rows = np.zeros((T, 36), np.float32)
+    rows[:, 6] = 1.0                                # unit quat (xyzw w-last)
+    rows[:, 2] = 0.79
+    rows[:, 7] = np.linspace(0, 0.5, T)             # first dof ramps
+    csv = tmp_path / "walk.csv"
+    np.savetxt(csv, rows, delimiter=",")
+    clip = lafan_to_pkl(str(csv))
+    assert clip["dof"].shape == (T, 23)
+    assert clip["pose_aa"].shape == (T, 27, 3)
+    assert clip["root_rot"].shape == (T, 4)
+    assert clip["fps"] == 30
+    np.testing.assert_allclose(clip["dof"][:, 0], rows[:, 7], atol=1e-6)
