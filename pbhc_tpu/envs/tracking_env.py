@@ -119,6 +119,16 @@ class MotionTrackingEnv:
             self.lanes_engine = LanesEngine(self.engine)
         else:
             self.lanes_engine = None
+
+        # teleop hook (reference motion_tracking.py:112-118,137-138): gated
+        # marker buffer fed by a UDP listener instead of a ROS2 subscriber
+        if bool(config.env.config.get("use_teleop_control", False)):
+            from pbhc_tpu.deploy.teleop import TeleopSource
+
+            self.teleop_source = TeleopSource().start()
+            self.teleop_marker_coords = np.zeros((num_envs, 3, 3))
+        else:
+            self.teleop_source = None
         self.nd = self.engine.nd
         self.nb = self.engine.nb
         self.num_extend = len(extend_cfg)

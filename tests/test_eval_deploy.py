@@ -88,3 +88,23 @@ def test_mujoco_deploy_runtime(exported_policy):
     # obs builder layout: full actor obs dim
     obs = robot.obs_builder.build(robot)
     assert obs.shape == (380,)
+
+
+def test_teleop_source_roundtrip():
+    import time
+
+    import numpy as np
+
+    from pbhc_tpu.deploy.teleop import TeleopSource
+
+    src = TeleopSource(port=19871).start()
+    try:
+        coords = np.arange(9, dtype=np.float64).reshape(3, 3)
+        for _ in range(20):
+            TeleopSource.send(coords, port=19871)
+            time.sleep(0.05)
+            if np.allclose(src.coords, coords):
+                break
+        assert np.allclose(src.coords, coords)
+    finally:
+        src.stop()
