@@ -21,6 +21,19 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _beta_schedule(iters):
+    """APGD momentum coefficients. The theta recurrence is data-independent,
+    so it is evaluated in python: keeping a 0-d theta in the device loop carry
+    produced a (1,128)->(8,128) replicated-relayout Mosaic error."""
+    betas = []
+    theta = 1.0
+    for _ in range(iters):
+        theta_new = 0.5 * ((theta**4 + 4 * theta**2) ** 0.5 - theta**2)
+        betas.append(theta * (1.0 - theta) / (theta**2 + theta_new))
+        theta = theta_new
+    return betas
+
+
 def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
     """One program solves LANES envs.
 
@@ -45,19 +58,19 @@ def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
         out = jnp.concatenate([(lt * scale[:, None]), ln[:, None]], axis=1)
         return (out * active[:, None]).reshape(n, -1)
 
-    def body(carry, _):
-        x, x_prev, theta = carry
-        theta_new = 0.5 * (jnp.sqrt(theta**4 + 4 * theta**2) - theta**2)
-        beta = theta * (1.0 - theta) / (theta**2 + theta_new)
+    # statically unrolled with python-float momentum coefficients: both a scan
+    # and a fori_loop here fail to lower in Mosaic (0-d momentum carry ->
+    # (1,128)->(8,128) replicated-relayout error; SMEM-indexed beta table ->
+    # remote-compile failure). The unroll compiles slowly once and is cached.
+    x = jnp.zeros_like(b)
+    x_prev = x
+    for beta in _beta_schedule(iters):
         y = x + beta * (x - x_prev)
         # g = A y + b: multiply+reduce, fully lane-parallel
         g = jnp.sum(A * y[None, :, :], axis=1) + b                   # [3K,L]
-        x_new = project(y - inv_L[None] * g)
-        return (x_new, x, theta_new), None
-
-    init = (jnp.zeros_like(b), jnp.zeros_like(b), jnp.asarray(1.0, b.dtype))
-    (lam, _, _), _ = jax.lax.scan(body, init, None, length=iters)
-    lam_ref[0] = lam
+        x_prev = x
+        x = project(y - inv_L[None] * g)
+    lam_ref[0] = x
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
