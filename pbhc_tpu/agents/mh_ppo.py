@@ -60,6 +60,9 @@ class MHPPO:
         self.num_minibatches = int(c.num_mini_batches)
         self.num_act = env.nd
         self.num_rew = env.num_rew_fn
+        # rollout-storage dtype for the big obs arrays; bfloat16 halves the
+        # update phase's HBM traffic (losses still run in f32)
+        self.storage_dtype = jnp.bfloat16 if str(c.get("storage_dtype", "float32")) == "bfloat16" else jnp.float32
 
         a_cfg = c.module_dict.actor.layer_config
         cr_cfg = c.module_dict.critic.layer_config
@@ -123,12 +126,17 @@ class MHPPO:
             env_state, next_obs, rew, done, info = self.env.step(env_state, actions)
             # timeout bootstrapping per head (reference ppo.py:267-268)
             rew_stored = rew + self.gamma * values * info["time_outs"][:, None]
+            sd = self.storage_dtype
             data = dict(
-                actor_obs=obs["actor_obs"], critic_obs=obs["critic_obs"],
-                next_actor_obs=next_obs["actor_obs"], next_critic_obs=next_obs["critic_obs"],
+                actor_obs=obs["actor_obs"].astype(sd), critic_obs=obs["critic_obs"].astype(sd),
                 actions=actions, logp=logp, mean=mean, std=std,
                 values=values, rewards=rew_stored, dones=done,
             )
+            if bool(self.config.l2c2.enable):
+                # next_* obs are only consumed by the L2C2 smoothness terms;
+                # storing them otherwise doubles rollout-storage traffic
+                data["next_actor_obs"] = next_obs["actor_obs"].astype(sd)
+                data["next_critic_obs"] = next_obs["critic_obs"].astype(sd)
             return (env_state, next_obs, rng), (data, info["log"])
 
         (env_state, obs, rng), (traj, logs) = jax.lax.scan(
@@ -161,7 +169,8 @@ class MHPPO:
         actor_params, critic_params, actor_opt, critic_opt, lr = carry
 
         def actor_loss_fn(ap):
-            mean, std = self.actor.apply(ap, batch["actor_obs"])
+            aobs = batch["actor_obs"].astype(jnp.float32)
+            mean, std = self.actor.apply(ap, aobs)
             logp = gaussian_log_prob(mean, std, batch["actions"])
             ratio = jnp.exp(logp - batch["logp"])
             adv = batch["advantages"]
@@ -171,8 +180,8 @@ class MHPPO:
             entropy = gaussian_entropy(std).mean()
             loss = surrogate - self.entropy_coef * entropy
             if bool(self.config.l2c2.enable):
-                u = jax.random.uniform(jax.random.PRNGKey(0), batch["actor_obs"].shape[:-1] + (1,)) * 2 - 1
-                u_obs = batch["actor_obs"] + u * (batch["next_actor_obs"] - batch["actor_obs"])
+                u = jax.random.uniform(jax.random.PRNGKey(0), aobs.shape[:-1] + (1,)) * 2 - 1
+                u_obs = aobs + u * (batch["next_actor_obs"].astype(jnp.float32) - aobs)
                 u_mean, _ = self.actor.apply(ap, u_obs)
                 loss = loss + float(self.config.l2c2.lambda_policy) * ((batch["actions"] - u_mean) ** 2).mean()
             # KL for adaptive LR (reference mh_ppo.py:469-483)
@@ -182,7 +191,8 @@ class MHPPO:
             return loss, (surrogate, entropy, kl)
 
         def critic_loss_fn(cp):
-            value = self.critic.apply(cp, batch["critic_obs"])
+            cobs = batch["critic_obs"].astype(jnp.float32)
+            value = self.critic.apply(cp, cobs)
             target_v, returns = batch["values"], batch["returns"]
             if bool(self.config.use_clipped_value_loss):
                 v_clipped = target_v + jnp.clip(value - target_v, -self.clip, self.clip)
@@ -191,8 +201,8 @@ class MHPPO:
                 vloss = ((returns - value) ** 2).sum(-1).mean()
             loss = self.value_loss_coef * vloss
             if bool(self.config.l2c2.enable):
-                u = jax.random.uniform(jax.random.PRNGKey(1), batch["critic_obs"].shape[:-1] + (1,)) * 2 - 1
-                u_obs = batch["critic_obs"] + u * (batch["next_critic_obs"] - batch["critic_obs"])
+                u = jax.random.uniform(jax.random.PRNGKey(1), cobs.shape[:-1] + (1,)) * 2 - 1
+                u_obs = cobs + u * (batch["next_critic_obs"].astype(jnp.float32) - cobs)
                 u_val = self.critic.apply(cp, u_obs)
                 loss = loss + float(self.config.l2c2.lambda_value) * ((value - u_val) ** 2).mean()
             return loss, vloss

@@ -139,7 +139,7 @@ class MimicActorCritic(nn.Module):
                                      self.num_values, self.activation,
                                      self.num_experts, self.top_k)
         self.critic_ln = nn.LayerNorm()
-        self.std_param = self.param("std", lambda k: jnp.full((self.num_actions,), self.init_noise_std))
+        self.std_param = self.param("std", lambda k: jnp.full((self.num_actions,), self.init_noise_std, dtype=jnp.float32))  # strong dtype: weak-typed params force a retrace of iteration 2
 
     def act(self, obs_dict, hist_encoding=False):
         mean = self.actor(obs_dict, hist_encoding)

@@ -83,7 +83,7 @@ class GaussianActor(nn.Module):
     @nn.compact
     def __call__(self, obs):
         mean = MLP(self.hidden_dims, self.num_actions, self.activation)(obs)
-        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std))
+        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std, dtype=jnp.float32))  # strong dtype: weak-typed params force a retrace of iteration 2
         return mean, jnp.broadcast_to(jnp.abs(std) + 1e-8, mean.shape)
 
 
@@ -133,7 +133,7 @@ class PhaseAwareActor(nn.Module):
         emb = PhaseEmbed(self.embed_type, self.embed_dim)(phase)
         x = jnp.concatenate([obs, emb], axis=-1)
         mean = MLP(self.hidden_dims, self.num_actions, self.activation)(x)
-        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std))
+        std = self.param("std", lambda key: jnp.full((self.num_actions,), self.init_noise_std, dtype=jnp.float32))  # strong dtype: weak-typed params force a retrace of iteration 2
         return mean, jnp.broadcast_to(jnp.abs(std) + 1e-8, mean.shape)
 
 

@@ -89,8 +89,13 @@ def main(argv=None):
 
     ckpt_dir = exp_dir / "ckpt"
     t_start = time.time()
+    last_log_t, last_log_it = t_start, 0
     for it in range(num_iters):
         t0 = time.time()
+        if it == 2:
+            # exclude compile time (iterations 0 AND 1 trace: the initial
+            # state's avals differ from the stepped state's) from fps windows
+            last_log_t, last_log_it = t0, 2
         ts, log = algo.train_iteration(ts)
         if it == 0:
             jax.block_until_ready(jax.tree.leaves(ts)[0])
@@ -98,8 +103,13 @@ def main(argv=None):
         if (it + 1) % log_interval == 0 or it == 0:
             log = jax.device_get(log)
             jax.block_until_ready(jax.tree.leaves(ts)[0])
-            dt_it = (time.time() - t0)
-            fps = steps_per_iter / dt_it
+            # iterations dispatch asynchronously: this sync waits for the
+            # WHOLE window since the last log, so fps must be window-based
+            # (timing just the last iteration underreports by log_interval x)
+            now = time.time()
+            window_iters = 1 if it == 0 else (it + 1 - last_log_it)
+            fps = steps_per_iter * window_iters / (now - last_log_t)
+            last_log_t, last_log_it = now, it + 1
             print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
                   f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
                   f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
