@@ -111,7 +111,8 @@ class MotionTrackingEnv:
         self.engine = Engine(
             self.sim_model,
             EngineOptions(dt=self.sim_dt, solver=sim_cfg.get("solver", "apgd"),
-                          solver_iters=int(sim_cfg.get("solver_iters", 32))),
+                          solver_iters=int(sim_cfg.get("solver_iters", 32)),
+                          lanes_contact_kernel=str(sim_cfg.get("lanes_contact_kernel", "auto"))),
         )
         if self.engine.opt.solver == "lanes":
             from pbhc_tpu.sim.engine_lanes import LanesEngine

@@ -113,6 +113,9 @@ class EngineOptions:
     max_root_ang_vel: float = 50.0
     contact_reg: float = 1e-3     # CFM-style relative regularization of the Delassus diag
     joint_limits: bool = True     # hard-clamp hinge ranges
+    # lanes-engine contact solve: "auto" = Pallas VMEM-resident APGD on TPU
+    # (A stays on-chip for all iterations), XLA scan elsewhere
+    lanes_contact_kernel: str = "auto"  # auto | pallas | xla
 
 
 class Engine:

@@ -354,7 +354,15 @@ class LanesEngine:
         v0 = jnp.sum(Jf * u_plus[None], axis=1).reshape(K, 3, N)   # [K,3,N]
         b = v0.at[:, 2].add(-b_err).reshape(K * 3, N)
 
-        lam = self._apgd(A, b, paramsT["friction"], active)        # [K3,N]
+        kernel = self.opt.lanes_contact_kernel
+        if N % 128 == 0 and (kernel == "pallas" or
+                             (kernel == "auto" and jax.default_backend() != "cpu")):
+            from pbhc_tpu.sim.pallas_contact import solve_contacts_pallas_lanes
+
+            lam = solve_contacts_pallas_lanes(
+                A, b, paramsT["friction"], active, iters=self.opt.solver_iters)
+        else:
+            lam = self._apgd(A, b, paramsT["friction"], active)    # [K3,N]
         imp = jnp.sum(Jf * lam[:, None], axis=0)                   # [nv,N]
         u_new = u_plus + jnp.sum(M_inv * imp[None], axis=1)
         return self._integrate(stateT, u_new), lam

@@ -74,6 +74,65 @@ def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
+def solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=False):
+    """Lanes-native batched APGD: inputs already env-last, ZERO transposes.
+
+    A [3K,3K,N], b [3K,N], mu [N], active [K,N] -> lam [3K,N].
+    N must be a multiple of 128. The grid tiles the env (lane) axis; each
+    program keeps its [3K,3K,128] Delassus tile resident in VMEM for all
+    iterations — the XLA scan re-reads A from HBM every iteration instead
+    (~32x sizeof(A) of traffic).
+    """
+    n, _, N = A.shape
+    K = n // 3
+    assert N % LANES == 0, f"N={N} must be a multiple of {LANES}"
+    G = N // LANES
+
+    return pl.pallas_call(
+        partial(_apgd_kernel_lanes, iters=iters, K=K),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANES), lambda g: (0, 0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, N), A.dtype),
+        interpret=interpret,
+    )(A, b, mu[None], active)
+
+
+def _apgd_kernel_lanes(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
+    """Grid-blocked twin of _apgd_kernel (blocks carry no leading grid dim)."""
+    A = A_ref[:]                                                     # [3K,3K,L]
+    b = b_ref[:]                                                     # [3K,L]
+    mu = mu_ref[0]                                                   # [L]
+    active = active_ref[:]                                           # [K,L]
+    n = 3 * K
+
+    L_const = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)           # [L]
+    inv_L = 1.0 / jnp.maximum(L_const, 1e-6)
+
+    def project(lam):                                                # [3K,L]
+        lam3 = lam.reshape(K, 3, -1)
+        ln = jnp.maximum(lam3[:, 2], 0.0)
+        tn = jnp.sqrt(lam3[:, 0] ** 2 + lam3[:, 1] ** 2)
+        scale = jnp.minimum(1.0, mu[None] * ln / jnp.maximum(tn, 1e-9))
+        out = jnp.stack([lam3[:, 0] * scale, lam3[:, 1] * scale, ln], axis=1)
+        return (out * active[:, None]).reshape(n, -1)
+
+    x = jnp.zeros_like(b)
+    x_prev = x
+    for beta in _beta_schedule(iters):                               # static unroll
+        y = x + beta * (x - x_prev)
+        g = jnp.sum(A * y[None, :, :], axis=1) + b
+        x_prev = x
+        x = project(y - inv_L[None] * g)
+    lam_ref[:] = x
+
+
+@partial(jax.jit, static_argnames=("iters", "interpret"))
 def solve_contacts_pallas(A, b, mu, active, iters=32, interpret=False):
     """Batched friction-cone APGD.
 

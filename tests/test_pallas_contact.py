@@ -56,3 +56,30 @@ def test_env_step_with_pallas_solver():
     state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((128, env.nd)))
     assert bool(jnp.isfinite(rew).all())
     assert bool(jnp.isfinite(obs["actor_obs"]).all())
+
+
+def test_lanes_kernel_matches_xla_apgd():
+    """solve_contacts_pallas_lanes (interpret) == LanesEngine._apgd (XLA)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbhc_tpu.model.g1 import load_g1_sim_model
+    from pbhc_tpu.sim.engine import Engine, EngineOptions
+    from pbhc_tpu.sim.engine_lanes import LanesEngine
+    from pbhc_tpu.sim.pallas_contact import solve_contacts_pallas_lanes
+
+    eng = Engine(load_g1_sim_model("g1_23dof_lock_wrist"), EngineOptions())
+    lanes = LanesEngine(eng)
+    K = eng.K
+    N = 128
+    key = jax.random.PRNGKey(0)
+    J = jax.random.normal(key, (3 * K, 40, N)) * 0.3
+    A = jnp.einsum("ivn,jvn->ijn", J, J) + 1e-2 * jnp.eye(3 * K)[:, :, None]
+    b = jax.random.normal(jax.random.PRNGKey(1), (3 * K, N))
+    mu = jnp.full((N,), 0.7)
+    active = (jax.random.uniform(jax.random.PRNGKey(2), (K, N)) > 0.3).astype(jnp.float32)
+
+    ref = lanes._apgd(A, b, mu, active)
+    out = solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
