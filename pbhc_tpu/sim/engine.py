@@ -113,9 +113,12 @@ class EngineOptions:
     max_root_ang_vel: float = 50.0
     contact_reg: float = 1e-3     # CFM-style relative regularization of the Delassus diag
     joint_limits: bool = True     # hard-clamp hinge ranges
-    # lanes-engine contact solve: "auto" = Pallas VMEM-resident APGD on TPU
-    # (A stays on-chip for all iterations), XLA scan elsewhere
-    lanes_contact_kernel: str = "auto"  # auto | pallas | xla
+    # lanes-engine contact solve. Default is the XLA scan: measured IN-SITU at
+    # 4096 envs it beats the Pallas VMEM-resident kernel (19.8 vs 37.7
+    # ms/ctrl-step) — the pallas_call boundary blocks XLA from fusing the
+    # Delassus build with the solve. "pallas"/"auto" keep the kernel path
+    # available for re-evaluation at other batch sizes.
+    lanes_contact_kernel: str = "xla"  # xla | pallas | auto
 
 
 class Engine:
