@@ -716,6 +716,28 @@ class MotionTrackingEnv:
                 jnp.linalg.norm(dif_body_pos, axis=-1) > state.motion_far_threshold, axis=-1)
         if tcfg.terminate_when_dof_far:
             term["dof_far"] = jnp.linalg.norm(dif_joint_pos, axis=-1) > state.dof_far_threshold
+        # probabilistic close-to-limit terminations: one Bernoulli gate per
+        # step shared across envs (reference legged_robot_base.py:449-477)
+        tprob = ecfg.termination_probality
+        kt = jax.random.split(k_term, 3)
+        if tcfg.get("terminate_when_close_to_dof_pos_limit", False):
+            m = (self.dof_pos_limits[:, 0] + self.dof_pos_limits[:, 1]) / 2
+            r = self.dof_pos_limits[:, 1] - self.dof_pos_limits[:, 0]
+            s = float(tscl.termination_close_to_dof_pos_limit)
+            out = (-jnp.clip(sim.dof_pos - (m - 0.5 * r * s), None, 0.0)
+                   + jnp.clip(sim.dof_pos - (m + 0.5 * r * s), 0.0, None)).sum(-1)
+            gate = jax.random.uniform(kt[0], ()) < float(tprob.terminate_when_close_to_dof_pos_limit)
+            term["dof_pos_limit"] = (out > 0) & gate
+        if tcfg.get("terminate_when_close_to_dof_vel_limit", False):
+            out = jnp.clip(jnp.abs(sim.dof_vel) - self.dof_vel_limits
+                           * float(tscl.termination_close_to_dof_vel_limit), 0.0, 1.0).sum(-1)
+            gate = jax.random.uniform(kt[1], ()) < float(tprob.terminate_when_close_to_dof_vel_limit)
+            term["dof_vel_limit"] = (out > 0) & gate
+        if tcfg.get("terminate_when_close_to_torque_limit", False):
+            out = jnp.clip(jnp.abs(torques) - self.torque_limits
+                           * float(tscl.termination_close_to_torque_limit), 0.0, 1.0).sum(-1)
+            gate = jax.random.uniform(kt[2], ()) < float(tprob.terminate_when_close_to_torque_limit)
+            term["torque_limit"] = (out > 0) & gate
         term = self._extra_terminations(term, diffs, state)
         for v in term.values():
             reset_buf = reset_buf | v

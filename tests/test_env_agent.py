@@ -108,3 +108,32 @@ def test_ppo_iteration_runs_and_learns_something():
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p_before, ts.actor_params)
     assert max(jax.tree.leaves(diff)) > 0
     assert int(ts.iteration) == 2
+
+
+def test_close_to_limit_terminations():
+    """Probabilistic limit terminations fire under extreme joint velocities
+    (reference legged_robot_base.py:449-477)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
+        ["num_envs=4",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl",
+         "env.config.termination.terminate_when_close_to_dof_vel_limit=true",
+         "env.config.termination_probality.terminate_when_close_to_dof_vel_limit=1.0"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    state = env.init_state(jax.random.PRNGKey(1))
+    state = dataclasses.replace(
+        state, sim=dataclasses.replace(state.sim, dof_vel=jnp.full((4, env.nd), 80.0)))
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
+    assert bool(done.all()), "dof-vel-limit termination did not fire"
+    assert float(info["log"]["terminate_by_dof_vel_limit"]) > 0
