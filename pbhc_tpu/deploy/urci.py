@@ -166,10 +166,29 @@ def main(argv=None):
     argv = argv or sys.argv[1:]
     paths = [a for a in argv if not ("=" in a)]
     kv = dict(a.split("=", 1) for a in argv if "=" in a)
-    steps = int(kv.pop("steps", 500))
+    # deploy=<single|multiple|external> loads the deploy config group
+    # (reference config/deploy/*.yaml) for defaults; explicit kv wins
+    dep = {}
+    if "deploy" in kv:
+        import yaml
+
+        grp = Path(__file__).resolve().parents[1] / "config" / "deploy" / f"{kv.pop('deploy')}.yaml"
+        dep = yaml.safe_load(grp.read_text())["deploy"]
+    steps = int(kv.pop("steps", dep.get("steps", 500)))
+    loop = str(kv.pop("loop", dep.get("loop", "true"))).lower() in ("true", "1")
     attack_kw = {k[7:]: v for k, v in kv.items() if k.startswith("attack.")}
     robot = URCIRobot(paths, motion_file=kv.get("motion_file"), attack=AttackConfig(**attack_kw))
-    traj = robot.routing(total_steps=steps, loop=True)
+    if dep.get("deploy_mode") == "external":
+        # drive the full loop with a stub policy (reference external/core.py);
+        # the first npz still provides robot meta (gains, scales, obs spec)
+        from pbhc_tpu.deploy.external import get_external_policy
+
+        robot.policy = get_external_policy(
+            str(kv.pop("external_policy", dep.get("external_policy", "zero"))),
+            dict(robot.meta, dt=robot.ctrl_dt))
+    if not bool(dep.get("switch_ema", True)):
+        robot._blend = 1.0
+    traj = robot.routing(total_steps=steps, loop=loop)
     print(f"[urci] ran {len(traj['pid'])} steps over {len(paths)} policies; "
           f"final root z={traj['root_pos'][-1, 2]:.3f}; "
           f"policy switches={int((np.diff(traj['pid']) != 0).sum())}")

@@ -121,6 +121,27 @@ class MotionTrackingEnv:
         else:
             self.lanes_engine = None
 
+        # terrain group (reference config/terrain/*, envs/env_utils/terrain.py):
+        # heightfield installs into the engine; plane (default) leaves it flat
+        ter = config.get("terrain")
+        if ter is not None and str(ter.get("mesh_type", "plane")) in ("heightfield", "trimesh"):
+            from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+
+            self.terrain = Terrain(TerrainConfig(
+                horizontal_scale=float(ter.get("horizontal_scale", 0.1)),
+                num_rows=int(ter.get("num_rows", 10)),
+                num_cols=int(ter.get("num_cols", 20)),
+                terrain_length=float(ter.get("terrain_length", 8.0)),
+                terrain_width=float(ter.get("terrain_width", 8.0)),
+                border_size=float(ter.get("border_size", 25.0)),
+                terrain_proportions=tuple(ter.get("terrain_proportions",
+                                                  (0.1, 0.1, 0.35, 0.25, 0.2))),
+            ))
+            self.engine.set_terrain(self.terrain.height_field,
+                                    self.terrain.cfg.horizontal_scale)
+        else:
+            self.terrain = None
+
         # teleop hook (reference motion_tracking.py:112-118,137-138): gated
         # marker buffer fed by a UDP listener instead of a ROS2 subscriber
         if bool(config.env.config.get("use_teleop_control", False)):

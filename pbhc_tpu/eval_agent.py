@@ -98,11 +98,14 @@ def main(argv=None):
     ckpt_path = Path(kv.pop("checkpoint"))
     sim2sim = kv.pop("sim2sim", "false").lower() == "true"
     dashboard_flag = kv.pop("dashboard", "false").lower() == "true"
-    save_motion = kv.pop("save_motion", "false").lower() == "true"
+    save_motion_arg = kv.pop("save_motion", None)
     num_envs = int(kv.pop("num_envs", 1))
 
     cfg_file = ckpt_path.parent.parent / "config.yaml"
     raw = yaml.safe_load(cfg_file.read_text())
+    # opt=record at train time snapshots save_motion into the config
+    save_motion = (save_motion_arg.lower() == "true" if save_motion_arg is not None
+                   else bool(raw.get("save_motion", False)))
     from pbhc_tpu.config.loader import Cfg
 
     cfg = Cfg.wrap(raw)

@@ -82,6 +82,22 @@ def main(argv=None):
     except Exception:
         writer = None
 
+    # wandb opt-in (reference train_agent.py:71-83 with sync_tensorboard);
+    # degrades to TB-only when the package is absent (zero-egress images)
+    wandb_run = None
+    if bool(cfg.get("use_wandb", False)):
+        try:
+            import wandb
+
+            wcfg = dict(cfg.get("wandb", {}))
+            wandb_run = wandb.init(
+                project=wcfg.get("wandb_project", "PBHC_TPU"),
+                group=wcfg.get("wandb_group"), entity=wcfg.get("wandb_entity"),
+                id=wcfg.get("wandb_id"), dir=str(exp_dir),
+                sync_tensorboard=True, config=dict(cfg))
+        except Exception as e:  # pragma: no cover - wandb not in test images
+            print(f"[train] use_wandb=true but wandb unavailable ({e}); TB only")
+
     num_iters = int(cfg.algo.config.num_learning_iterations)
     save_interval = int(cfg.algo.config.save_interval)
     log_interval = max(1, int(cfg.algo.config.get("logging_interval", 25)) // 5)
@@ -119,6 +135,8 @@ def main(argv=None):
                 writer.add_scalar("Perf/total_fps", fps, it + 1)
         if (it + 1) % save_interval == 0 or it + 1 == num_iters:
             save_checkpoint(ckpt_dir, it + 1, ts)
+    if wandb_run is not None:
+        wandb_run.finish()
     print(f"[train] done in {time.time()-t_start:.0f}s")
     save_checkpoint(ckpt_dir, num_iters, ts)
     return ts

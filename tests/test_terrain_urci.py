@@ -68,3 +68,61 @@ def test_urci_routing_and_attacks(tmp_path):
     assert robot.cur_pid == 1 and robot._blend == 0.0
     robot.control_step()
     assert np.isfinite(robot.d.qpos).all()
+
+
+def test_terrain_config_group(tmp_path):
+    """terrain=locomotion installs a heightfield into the engine."""
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu",
+         "terrain=locomotion"],
+        ["num_envs=2", "terrain.num_rows=2", "terrain.num_cols=2",
+         "terrain.border_size=2.0",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    assert env.terrain is not None
+    assert env.engine.terrain_hf is not None
+    state = env.init_state(jax.random.PRNGKey(1))
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((2, env.nd)))
+    assert bool(jnp.isfinite(rew).all())
+
+    # plane group leaves the engine flat
+    cfg2 = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu",
+         "terrain=plane"],
+        ["num_envs=2",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env2 = MotionTrackingEnv(cfg2, 2, jax.random.PRNGKey(0))
+    assert env2.terrain is None and env2.engine.terrain_hf is None
+
+
+def test_urci_deploy_groups(tmp_path):
+    """deploy=external runs the routing loop on a stub policy."""
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.deploy.export import export_policy
+    from pbhc_tpu.deploy import urci
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
+        ["num_envs=2",
+         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    params = algo.actor.init(jax.random.PRNGKey(1), jnp.zeros((1, algo.actor_dim)))
+    npz = export_policy(params, env, tmp_path / "p.npz",
+                        meta_extra={"motion_file": str(cfg.robot.motion.motion_file)})
+    urci.main([str(npz), "deploy=external", "steps=10"])
+    urci.main([str(npz), "deploy=single", "steps=5"])
