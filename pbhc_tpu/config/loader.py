@@ -113,19 +113,26 @@ def _resolve_str(s: str, root: dict, depth=0):
     return s
 
 
-def _resolve_value(v, root, depth=0):
+def _resolve_value(v, root, depth=0, strict=True):
     if isinstance(v, str) and "${" in v:
-        return _resolve_str(v, root, depth)
+        try:
+            return _resolve_str(v, root, depth)
+        except (KeyError, TypeError):
+            # foreign resolvers (hydra ${now:...}, ${oc.env:...}) in snapshot
+            # configs from the reference: keep the raw string in lenient mode
+            if strict:
+                raise
+            return v
     return v
 
 
-def resolve_interpolations(cfg: dict):
+def resolve_interpolations(cfg: dict, strict: bool = True):
     def walk(node):
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]
-        return _resolve_value(node, cfg)
+        return _resolve_value(node, cfg, strict=strict)
 
     prev = None
     out = cfg

@@ -81,7 +81,9 @@ class MujocoDeployRobot:
         from pbhc_tpu.model.g1 import g1_asset_root, load_g1_motion_model
         from pbhc_tpu.motion.motion_lib import MotionLib
 
-        self.policy = NumpyPolicy(policy_path)
+        # a preloaded policy object (NumpyPolicy / OnnxPolicy) passes through;
+        # paths load the npz format
+        self.policy = policy_path if hasattr(policy_path, "meta") else NumpyPolicy(policy_path)
         self.meta = self.policy.meta
         self.obs_builder = ObsBuilder(self.meta)
 

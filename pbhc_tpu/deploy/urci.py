@@ -45,8 +45,8 @@ class URCIRobot(MujocoDeployRobot):
     def __init__(self, policy_paths, motion_file=None, attack: AttackConfig = None, **kw):
         self.policies = [str(p) for p in policy_paths]
         attack = attack or AttackConfig()
-        first = self.policies[0]
-        super().__init__(first, motion_file or _meta_motion(first), **kw)
+        first = _load_policy(self.policies[0], motion_file)
+        super().__init__(first, motion_file or first.meta.get("motion_file"), **kw)
         self.attack = attack
         self._imu = None
         if attack.imu:
@@ -123,10 +123,9 @@ class URCIRobot(MujocoDeployRobot):
             self.reset()
             self._blend = 1.0
             return
-        from pbhc_tpu.deploy.export import NumpyPolicy
         from pbhc_tpu.deploy.mujoco_runtime import ObsBuilder
 
-        self.policy = NumpyPolicy(self.policies[pid])
+        self.policy = _load_policy(self.policies[pid])
         self.meta = self.policy.meta
         self.obs_builder = ObsBuilder(self.meta)
         self.cur_pid = pid
@@ -156,10 +155,18 @@ class URCIRobot(MujocoDeployRobot):
         return {k: np.asarray(v) for k, v in traj.items()}
 
 
-def _meta_motion(policy_path):
+def _load_policy(path, motion_file=None):
+    """npz -> NumpyPolicy; .onnx -> reference pretrained checkpoint executed
+    by the protobuf decoder, with meta rebuilt from the ckpt-adjacent
+    config.yaml (reference urci.py:97-174 load_policy + config lookup)."""
+    if str(path).endswith(".onnx"):
+        from pbhc_tpu.deploy.onnx_numpy import OnnxPolicy, meta_from_reference_config
+
+        cfg_yaml = Path(path).parent.parent / "config.yaml"
+        return OnnxPolicy(path, meta_from_reference_config(cfg_yaml, motion_file))
     from pbhc_tpu.deploy.export import NumpyPolicy
 
-    return NumpyPolicy(policy_path).meta.get("motion_file")
+    return NumpyPolicy(path)
 
 
 def main(argv=None):
