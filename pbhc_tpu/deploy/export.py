@@ -14,8 +14,11 @@ from pathlib import Path
 import numpy as np
 
 
-def export_policy(actor_params, env, path, meta_extra=None):
-    """Flatten flax MLP params -> npz with deploy metadata."""
+def export_policy(actor_params, env, path, meta_extra=None, actor=None):
+    """Flatten flax MLP params -> npz with deploy metadata.
+
+    When `actor` (the flax actor module) is given, an ONNX twin is written
+    next to the npz (reference inference_helpers.py:13-44)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     params = actor_params["params"]
@@ -54,6 +57,17 @@ def export_policy(actor_params, env, path, meta_extra=None):
         meta.update(meta_extra)
     arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
+
+    # ONNX twin next to the npz (reference inference_helpers.py:13-44 exports
+    # ONNX as the deploy artifact; see pbhc_tpu/deploy/onnx_export.py)
+    if actor is not None:
+        try:
+            from pbhc_tpu.deploy.onnx_export import export_actor_onnx
+
+            export_actor_onnx(actor, actor_params, meta["obs_dim"],
+                              Path(path).with_suffix(".onnx"))
+        except Exception as e:  # pragma: no cover - non-MLP backbones (MoE)
+            print(f"[export] ONNX export skipped: {e}")
     return path
 
 

@@ -71,15 +71,18 @@ def _parse_tensor(b):
             else:
                 floats.append(struct.unpack("<f", v)[0])
     if raw:
-        assert dtype == 1, f"tensor {name}: only float32 supported (got {dtype})"
-        arr = np.frombuffer(raw, dtype=np.float32)
+        if dtype == 7:
+            arr = np.frombuffer(raw, dtype=np.int64)
+        else:
+            assert dtype == 1, f"tensor {name}: only float32/int64 supported (got {dtype})"
+            arr = np.frombuffer(raw, dtype=np.float32)
     else:
         arr = np.asarray(floats, dtype=np.float32)
     return name, arr.reshape(dims or [-1])
 
 
 def _parse_attr(b):
-    name, fval, ival = "", None, None
+    name, fval, ival, ints = "", None, None, []
     for f, w, v in _fields(b):
         if f == 1 and w == 2:
             name = v.decode()
@@ -87,6 +90,14 @@ def _parse_attr(b):
             fval = struct.unpack("<f", v)[0]
         elif f == 3 and w == 0:
             ival = v
+        elif f == 8:  # repeated int64 ints (signed: two's complement varint)
+            x = v if w == 0 else None
+            if x is not None:
+                ints.append(x - (1 << 64) if x >= (1 << 63) else x)
+    if ints:
+        return name, ints
+    if ival is not None and ival >= (1 << 63):
+        ival -= 1 << 64
     return name, (fval if fval is not None else ival)
 
 
@@ -170,6 +181,45 @@ class OnnxPolicy:
                 y = x[0].reshape(x[0].shape[0], -1) if op == "Flatten" else x[0]
             elif op == "Concat":
                 y = np.concatenate(x, axis=int(a.get("axis", -1)))
+            elif op == "Mul":
+                y = x[0] * x[1]
+            elif op == "Sub":
+                y = x[0] - x[1]
+            elif op == "Div":
+                y = x[0] / x[1]
+            elif op == "Sqrt":
+                y = np.sqrt(x[0])
+            elif op == "Sin":
+                y = np.sin(x[0])
+            elif op == "Cos":
+                y = np.cos(x[0])
+            elif op == "ReduceMean":
+                axes = tuple(a.get("axes", [-1]))
+                y = x[0].mean(axis=axes, keepdims=bool(a.get("keepdims", 1)))
+            elif op == "Transpose":
+                y = np.transpose(x[0], a["perm"])
+            elif op == "Reshape":
+                y = x[0].reshape([int(d) for d in x[1]])
+            elif op == "Slice":
+                starts, ends = x[1], x[2]
+                axes = x[3] if len(x) > 3 else np.arange(len(starts))
+                sl = [slice(None)] * x[0].ndim
+                for st, en, ax in zip(starts, ends, axes):
+                    sl[int(ax)] = slice(int(st), int(en))
+                y = x[0][tuple(sl)]
+            elif op == "Conv":
+                # NCW 1-D convolution, VALID padding (pads [0,0])
+                xin, w = x[0], x[1]                     # [N,C,W], [M,C,k]
+                stride = int(a.get("strides", [1])[0])
+                assert all(int(pv) == 0 for pv in a.get("pads", [0, 0]))
+                N, C, W = xin.shape
+                M, _, k = w.shape
+                Wo = (W - k) // stride + 1
+                idx = np.arange(Wo)[:, None] * stride + np.arange(k)[None]  # [Wo,k]
+                patches = xin[:, :, idx]                # [N,C,Wo,k]
+                y = np.einsum("ncok,mck->nmo", patches, w)
+                if len(x) > 2:
+                    y = y + x[2][None, :, None]
             else:
                 raise NotImplementedError(f"ONNX op {op} not supported")
             env[nd["outputs"][0]] = y

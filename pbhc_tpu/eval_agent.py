@@ -129,7 +129,8 @@ def main(argv=None):
 
     export_dir = ckpt_path.parent.parent / "exported"
     npz_path = export_policy(actor_params, env, export_dir / f"{ckpt_path.stem}.npz",
-                             meta_extra={"motion_file": str(cfg.robot.motion.motion_file)})
+                             meta_extra={"motion_file": str(cfg.robot.motion.motion_file)},
+                             actor=algo.actor)
     print(f"[eval] exported policy -> {npz_path}")
 
     # --- TPU-env rollout + metrics
