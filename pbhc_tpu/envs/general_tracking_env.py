@@ -140,7 +140,7 @@ class GeneralTrackingEnv(MotionTrackingEnv):
         getters["roll_pitch"] = rpy[:, :2]
         getters["root_height"] = sim.root_pos[:, 2:3]
         getters["contact_mask"] = state.contacts_filt
-        getters["dr_base_mass"] = jnp.ones((N, 1))  # base mass scale (no added-mass DR yet)
+        # dr_base_mass comes from the base env's dr_obs (added-mass DR)
 
         body_pos, body_quat, _, _ = self._extend_body_states(sim)
         ai = self.anchor_index

@@ -208,7 +208,8 @@ class MotionTrackingEnv:
         self.clip_obs = float(config.get_path("normalization.clip_observations", 100.0))
 
         # ---- motion library
-        self.motion_lib = MotionLib(rcfg.motion.motion_file, self.motion_model, num_envs, self.dt)
+        self.motion_lib = MotionLib(rcfg.motion.motion_file, self.motion_model, num_envs, self.dt,
+                                    fix_height=str(rcfg.motion.get("fix_height", "no_fix")))
 
         # ---- build-time DR -> per-env SimParams (reference isaacgym.py:299-549)
         dr = config.domain_rand
@@ -270,6 +271,27 @@ class MotionTrackingEnv:
             iscale = jax.random.uniform(ks[1], (N, len(rand_idx)), minval=lo, maxval=hi)
             inertia = inertia.at[:, rand_idx].multiply(iscale[..., None, None])
 
+        # heavy_upper: fixed mass+inertia ratio on the upper-body links
+        # (reference isaacgym.py:519-534)
+        hu = dr.get("heavy_upper", {})
+        if hu and bool(hu.get("enable", False)):
+            ratio = float(hu.get("ratio", 1.1))
+            hu_idx = np.asarray([m.body_names.index(n) for n in hu.get("body_names", [])
+                                 if n in m.body_names], dtype=np.int64)
+            if len(hu_idx):
+                mass = mass.at[:, hu_idx].multiply(ratio)
+                inertia = inertia.at[:, hu_idx].multiply(ratio)
+
+        # base added mass (reference isaacgym.py:538-549: uniform additive on
+        # the pelvis, inertia left unchanged)
+        base_added_mass = jnp.zeros((N,))
+        if dr.get("randomize_base_mass", False):
+            lo, hi = dr.added_mass_range
+            base_idx = m.body_names.index("pelvis") if "pelvis" in m.body_names \
+                else m.body_names.index("torso_link")
+            base_added_mass = jax.random.uniform(ks[4], (N,), minval=lo, maxval=hi)
+            mass = mass.at[:, base_idx].add(base_added_mass)
+
         base_com_bias = jnp.zeros((N, 3))
         if dr.get("randomize_base_com", False):
             r = dr.base_com_range
@@ -294,6 +316,7 @@ class MotionTrackingEnv:
         )
         dr_obs = {
             "base_com": base_com_bias,
+            "base_mass": base_added_mass[:, None],
             "link_mass": link_mass_scale,
             "friction": friction[:, None],
         }
@@ -306,16 +329,33 @@ class MotionTrackingEnv:
         reference legged_robot_base.py:599-635."""
         dr = self.dr
         N = n_shape
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 8)
         one = jnp.ones((N, self.nd))
         kp_scale = jax.random.uniform(ks[0], (N, self.nd), minval=dr.kp_range[0], maxval=dr.kp_range[1]) \
             if dr.get("randomize_pd_gain", False) else one
         kd_scale = jax.random.uniform(ks[1], (N, self.nd), minval=dr.kd_range[0], maxval=dr.kd_range[1]) \
             if dr.get("randomize_pd_gain", False) else one
+        # parallel/serial PD mismatch: multiplicative ratio on selected joints,
+        # composed with randomize_pd_gain (reference legged_robot_base.py:607-615)
+        pspd = dr.get("parallel_serial_pd", {})
+        if pspd and bool(pspd.get("enable", False)):
+            jidx = np.asarray(list(pspd.joint_idx), dtype=np.int64)
+            lo, hi = pspd.ratio
+            ratio = jax.random.uniform(ks[6], (N, len(jidx)), minval=lo, maxval=hi)
+            ratio_d = jax.random.uniform(ks[7], (N, len(jidx)), minval=lo, maxval=hi)
+            kp_scale = kp_scale.at[:, jidx].multiply(ratio)
+            kd_scale = kd_scale.at[:, jidx].multiply(ratio_d)
         rfi = jax.random.uniform(ks[2], (N, self.nd), minval=dr.rfi_lim_range[0], maxval=dr.rfi_lim_range[1]) \
             if dr.get("randomize_rfi_lim", False) else one
         rao = jax.random.uniform(ks[3], (N, self.nd), minval=-dr.rao_lim, maxval=dr.rao_lim) \
             if dr.get("use_rao", False) else jnp.zeros((N, self.nd))
+        pstau = dr.get("parallel_serial_tau", {})
+        if pstau and bool(pstau.get("enable", False)):
+            # gaussian actuation-offset bump on the parallel-mechanism joints
+            # (reference legged_robot_base.py:621-623)
+            tidx = np.asarray(list(pstau.joint_idx), dtype=np.int64)
+            g = jax.random.normal(jax.random.fold_in(ks[3], 7), (N, len(tidx)))
+            rao = rao.at[:, tidx].add(float(pstau.rao_lim) * g)
         delay_idx = jax.random.randint(ks[4], (N,), dr.ctrl_delay_step_range[0], dr.ctrl_delay_step_range[1] + 1) \
             if dr.get("randomize_ctrl_delay", False) else jnp.zeros((N,), jnp.int32)
         default_dof = jnp.broadcast_to(self.raw_default_dof_pos, (N, self.nd))
@@ -575,11 +615,22 @@ class MotionTrackingEnv:
         kd_eff = state.kd_scale * self.d_gains
         target = after_delay * self.action_scales + state.default_dof_pos
 
+        pstau = self.dr.get("parallel_serial_tau", {})
+        use_pstau = bool(pstau and pstau.get("enable", False))
+        if use_pstau:
+            pst_idx = np.asarray(list(pstau.joint_idx), dtype=np.int64)
+
         def torque_fn(st, key, kp_eff=None, kd_eff=None, target=None, rfi=None, rao=None):
             tau = kp_eff * (target - st.dof_pos) - kd_eff * st.dof_vel
             if self.dr.get("randomize_torque_rfi", False):
                 noise = jax.random.uniform(key, tau.shape, minval=-1.0, maxval=1.0)
                 tau = tau + noise * float(self.dr.rfi_lim) * rfi * self.torque_limits
+            if use_pstau:
+                # gaussian torque injection on the parallel-mechanism joints
+                # (reference legged_robot_base.py:821-827)
+                g = jax.random.normal(jax.random.fold_in(key, 1), tau[..., pst_idx].shape)
+                tau = tau.at[..., pst_idx].add(
+                    float(pstau.rfi_lim) * self.torque_limits[pst_idx] * g)
             if self.dr.get("use_rao", False):
                 tau = tau + rao * self.torque_limits
             return jnp.clip(tau, -self.torque_limits, self.torque_limits)
@@ -1124,6 +1175,7 @@ class MotionTrackingEnv:
             "dif_local_rigid_body_pos": dif_local.reshape(N, -1),
             "local_ref_rigid_body_pos": local_ref.reshape(N, -1),
             "dr_base_com": self.dr_obs["base_com"],
+            "dr_base_mass": self.dr_obs["base_mass"],
             "dr_link_mass": self.dr_obs["link_mass"],
             "dr_friction": self.dr_obs["friction"],
             "dr_kp": state.kp_scale,

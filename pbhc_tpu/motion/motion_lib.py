@@ -76,15 +76,39 @@ class MotionLib:
     """Holds clips and serves get_motion_state. `num_envs` motions are assigned
     per env (with replacement when the library is smaller)."""
 
-    def __init__(self, motion_file: str, model: RobotModel, num_envs: int, step_dt: float):
+    def __init__(self, motion_file: str, model: RobotModel, num_envs: int, step_dt: float,
+                 fix_height: str = "no_fix"):
         if motion_file is None:
             raise ValueError(
                 "robot.motion.motion_file is not set — pass e.g. "
                 "robot.motion.motion_file=/path/to/motion.pkl on the CLI")
+        assert fix_height in ("no_fix", "full_fix", "ankle_fix"), fix_height
         self.model = model  # extended model (with virtual hands/head)
         self.num_envs = num_envs
         self.step_dt = step_dt
+        self.fix_height = fix_height
         self._load(motion_file)
+
+    def _fix_height_diff(self, p_w, q_w):
+        """Height offset putting the first frame's lowest collision-sphere
+        surface point on the ground (reference motion_lib_base.py:393-401 uses
+        mesh-FK min vertex z; the sphere set is our collision geometry).
+        ankle_fix restricts to the foot spheres (FixHeightMode.ankle_fix)."""
+        from scipy.spatial.transform import Rotation as sRot
+
+        m = self.model
+        bidx = np.asarray(m.contact_body)
+        if bidx.size == 0:
+            return float(p_w[0, :, 2].min())
+        offs = np.asarray(m.contact_pos)
+        rad = np.asarray(m.contact_radius)
+        if self.fix_height == "ankle_fix":
+            keep = np.asarray(["ankle" in m.body_names[b] or "foot" in m.body_names[b]
+                               for b in bidx])
+            if keep.any():
+                bidx, offs, rad = bidx[keep], offs[keep], rad[keep]
+        centers = p_w[0, bidx] + sRot.from_quat(q_w[0, bidx]).apply(offs)
+        return float((centers[:, 2] - rad).min())
 
     # ------------------------------------------------------------------ load
     def _load(self, motion_file):
@@ -108,6 +132,12 @@ class MotionLib:
             p_w, q_w = fk_jit(self.model, jnp.asarray(pose_aa), jnp.asarray(trans))
             p_w = np.asarray(p_w)
             q_w = np.asarray(q_w)
+            if self.fix_height != "no_fix":
+                diff = self._fix_height_diff(p_w, q_w)
+                trans = trans.copy()
+                trans[:, 2] -= diff
+                p_w = p_w.copy()
+                p_w[..., 2] -= diff
 
             dof = np.asarray(dof_from_pose_aa(self.model, jnp.asarray(pose_aa)))
             dvel = np.diff(dof, axis=0) / dt

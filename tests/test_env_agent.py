@@ -137,3 +137,52 @@ def test_close_to_limit_terminations():
     state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
     assert bool(done.all()), "dof-vel-limit termination did not fire"
     assert float(info["log"]["terminate_by_dof_vel_limit"]) > 0
+
+
+def test_heavy_upper_added_mass_parallel_pd_dr():
+    """heavy_upper (reference isaacgym.py:519-534), base added mass (:538-549),
+    parallel_serial_pd (legged_robot_base.py:607-615) and parallel_serial_tau
+    (:621-627) feed the per-env sim params / episodic DR."""
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={MOTION}",
+         "domain_rand.heavy_upper.enable=true",
+         "domain_rand.randomize_base_mass=true",
+         "domain_rand.parallel_serial_pd.enable=true",
+         "domain_rand.parallel_serial_tau.enable=true"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    base = env.engine.default_params()
+
+    torso = env.sim_model.body_names.index("torso_link")
+    pelvis = env.sim_model.body_names.index("pelvis")
+    m = np.asarray(env.sim_params.mass)
+    # torso mass carries the 1.1 heavy_upper ratio on top of link-mass DR [0.9,1.1]
+    ratio_torso = m[:, torso] / float(base.mass[torso])
+    assert (ratio_torso > 0.9 * 1.1 - 1e-5).all() and (ratio_torso < 1.1 * 1.1 + 1e-5).all()
+    # pelvis got additive mass within added_mass_range on top of its mass DR
+    add = np.asarray(env.dr_obs["base_mass"])[:, 0]
+    lo, hi = cfg.domain_rand.added_mass_range
+    assert (add >= lo).all() and (add <= hi).all() and np.std(add) > 0
+
+    # parallel_serial_pd widens the kp scale beyond kp_range on those joints
+    state = env.init_state(jax.random.PRNGKey(3))
+    kp = np.asarray(state.kp_scale)
+    jidx = list(cfg.domain_rand.parallel_serial_pd.joint_idx)
+    inner = [i for i in range(env.nd) if i not in jidx]
+    assert kp[:, inner].max() <= 1.1 + 1e-6
+    assert kp[:, jidx].min() >= 0.9 * 0.8 - 1e-6 and kp[:, jidx].max() <= 1.1 * 1.2 + 1e-6
+    # parallel_serial_tau: rao on those joints is gaussian-bumped (unbounded by rao_lim)
+    rao = np.asarray(state.rao_scale)
+    tidx = list(cfg.domain_rand.parallel_serial_tau.joint_idx)
+    assert np.abs(rao[:, tidx]).max() > 0
+
+    # and the env still steps finite
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
+    assert bool(jnp.isfinite(rew).all())

@@ -140,3 +140,25 @@ def test_motion_lib_get_state(model, ref_motion_path):
     # sample_time in range
     t = sample_time(data, jax.random.PRNGKey(0), ids)
     assert float(t.min()) >= 0 and float(t.max()) <= float(data.lengths[0])
+
+
+def test_fix_height_modes(ref_motion_path):
+    """reference motion_lib_base.py:393-401 (FixHeightMode): full/ankle fix
+    shift the clip so the lowest first-frame collision-sphere point touches
+    the ground; no_fix leaves the clip untouched."""
+    import jax.numpy as jnp
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.motion_lib import MotionLib, get_motion_state
+
+    mm = load_g1_motion_model()
+    z = {}
+    for mode in ("no_fix", "full_fix", "ankle_fix"):
+        ml = MotionLib(ref_motion_path, mm, 1, 0.02, fix_height=mode)
+        st = get_motion_state(ml.data, jnp.zeros(1, jnp.int32), jnp.zeros(1))
+        z[mode] = float(st["root_pos"][0, 2])
+        # lowest sphere-surface point of frame 0 must touch z=0 after fixing
+        if mode != "no_fix":
+            diff = ml._fix_height_diff(
+                np.asarray(ml.data.gts[:1]), np.asarray(ml.data.grs[:1]))
+            assert abs(diff) < 1e-5, diff
+    assert z["no_fix"] != z["full_fix"]
