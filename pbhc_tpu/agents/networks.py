@@ -153,6 +153,20 @@ class PhaseAwareCritic(nn.Module):
             jnp.concatenate([obs, emb], axis=-1))
 
 
+class Estimator(nn.Module):
+    """State estimator: MLP from proprioceptive obs history to a privileged
+    estimate (e.g. base linear velocity), deployable on the real robot
+    (reference encoder_modules.py:10-19)."""
+
+    hidden_dims: Sequence[int]
+    out_dim: int
+    activation: str = "ELU"
+
+    @nn.compact
+    def __call__(self, obs_history):
+        return MLP(self.hidden_dims, self.out_dim, self.activation)(obs_history)
+
+
 def gaussian_log_prob(mean, std, actions):
     var = std**2
     return (-0.5 * ((actions - mean) ** 2) / var - jnp.log(std) - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)

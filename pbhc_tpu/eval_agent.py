@@ -19,7 +19,7 @@ import numpy as np
 import yaml
 
 
-def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
+def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None, callbacks=None):
     """Deterministic rollout in the TPU env; returns trajectory + ref dicts."""
     import dataclasses
 
@@ -51,10 +51,20 @@ def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
            "contact_mask": []}
     from pbhc_tpu.motion.motion_lib import get_motion_state
 
+    callbacks = callbacks or []
+    for cb in callbacks:
+        cb.on_pre_evaluate_policy()
     dones = []
-    for _ in range(num_steps):
+    for step_i in range(num_steps):
         actions = act(obs)
+        actor_state = {"step": step_i, "obs": obs, "actions": actions, "env_state": state}
+        for cb in callbacks:
+            actor_state = cb.on_pre_eval_env_step(actor_state)
+        actions = jnp.asarray(actor_state["actions"])
         state, obs, rew, done, info = step(state, actions)
+        actor_state["env_state"] = state
+        for cb in callbacks:
+            actor_state = cb.on_post_eval_env_step(actor_state)
         sim = state.sim
         body_pos, body_quat, _, _ = env._extend_body_states(sim)
         t = state.episode_length.astype(jnp.float32) * env.dt + state.motion_start_times
@@ -84,6 +94,8 @@ def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None):
         dones.append(bool(done[0]))
         if dones[-1]:
             break
+    for cb in callbacks:
+        cb.on_post_evaluate_policy()
     return ({k: np.stack(v) for k, v in traj.items()},
             {k: np.stack(v) for k, v in ref.items()}, dones)
 
@@ -98,6 +110,7 @@ def main(argv=None):
     ckpt_path = Path(kv.pop("checkpoint"))
     sim2sim = kv.pop("sim2sim", "false").lower() == "true"
     dashboard_flag = kv.pop("dashboard", "false").lower() == "true"
+    callback_names = kv.pop("callbacks", "")  # e.g. callbacks=plot,force,openloop
     save_motion_arg = kv.pop("save_motion", None)
     num_envs = int(kv.pop("num_envs", 1))
 
@@ -143,9 +156,15 @@ def main(argv=None):
         dash = DashboardLogger()
         print(f"[eval] live dashboard at {dash.start()}")
 
+    callbacks = []
+    if callback_names:
+        from pbhc_tpu.eval.callbacks import build_callbacks
+
+        callbacks = build_callbacks(callback_names.split(","), cfg, env, dashboard=dash)
+
     num_steps = int(float(env.motion_lib.data.lengths[0]) / env.dt)
     traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps, jax.random.PRNGKey(1),
-                                   dashboard=dash)
+                                   dashboard=dash, callbacks=callbacks)
     acc = eval_accuracy(traj, ref, env.dt)
     smooth = eval_smoothness(traj, env.dt)
     ratio = len(traj["dof_pos"]) / num_steps

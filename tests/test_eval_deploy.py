@@ -108,3 +108,55 @@ def test_teleop_source_roundtrip():
         assert np.allclose(src.coords, coords)
     finally:
         src.stop()
+
+
+def test_eval_callbacks(tmp_path, ref_motion_path):
+    """RLEvalCallback hook interface (reference base_callback.py:4-20):
+    plot/force callbacks stream to a logger; open-loop replay overrides the
+    policy actions with the clip's recorded ones."""
+    import joblib
+    import jax
+    import jax.numpy as jnp
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.eval.callbacks import (
+        AnalysisPlotCallback, ForcePlotCallback, OpenLoopReplayCallback)
+    from pbhc_tpu.eval_agent import rollout_jax
+
+    # clip with recorded actions (reference rollout-dump schema)
+    raw = joblib.load(ref_motion_path)
+    key0 = next(iter(raw.keys()))
+    clip = dict(raw[key0])
+    clip["action"] = 0.05 * np.ones((clip["pose_aa"].shape[0], 23), np.float32)
+    mf = str(tmp_path / "with_actions.pkl")
+    joblib.dump({key0: clip}, mf)
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
+        ["num_envs=2", f"robot.motion.motion_file={mf}"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    params = algo.actor.init(jax.random.PRNGKey(0), jnp.zeros((1, algo.actor_dim)))
+
+    class StubDash:
+        def __init__(self):
+            self.rows = []
+
+        def log_step(self, scalars):
+            self.rows.append(scalars)
+
+    dash = StubDash()
+    cbs = [AnalysisPlotCallback(cfg, env, dash),
+           ForcePlotCallback(cfg, env, dash),
+           OpenLoopReplayCallback(cfg, env, motion_file=mf)]
+    traj, ref, dones = rollout_jax(env, algo.actor, params, 3,
+                                   jax.random.PRNGKey(1), callbacks=cbs)
+    # open-loop: recorded actions (0.05) drove the env, not the random policy
+    np.testing.assert_allclose(traj["action"], 0.05, atol=1e-6)
+    # both logging callbacks fired each step
+    assert len(dash.rows) == 2 * len(traj["action"])
+    assert any("contact_fz_total" in r for r in dash.rows)
