@@ -106,6 +106,41 @@ def convert_29dof_to_23dof(clip: dict):
     return new
 
 
+def convert_ue_to_23dof(raw):
+    """UE-exported walk clip (29 dof, loose key names) -> training schema
+    (reference convert_ue_walk_to_23dof.py): accepts flat or {name: clip}
+    nesting and dof_pos/root_pos key variants, drops the wrist dofs
+    (19:22, 26:29), and rebuilds pose_aa = [root_aa, axis*dof, zeros(extend)]
+    from the MJCF joint axes."""
+    if isinstance(raw, dict) and raw and isinstance(next(iter(raw.values())), dict):
+        first = next(iter(raw.values()))
+        clip = first if ("dof" in first or "dof_pos" in first) else raw
+    else:
+        clip = raw
+    dof = np.asarray(clip.get("dof_pos", clip.get("dof")), dtype=np.float32)
+    assert dof is not None and dof.shape[-1] == 29, "expects a 29-dof UE clip"
+    dof23 = np.concatenate([dof[:, :19], dof[:, 22:26]], axis=1)
+    trans = np.asarray(clip.get("root_trans_offset", clip.get("root_pos")), dtype=np.float32)
+    quat = np.asarray(clip["root_rot"], dtype=np.float32)  # xyzw
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+
+    model = load_g1_motion_model()
+    axes = np.asarray(model.dof_axis, dtype=np.float32)[: dof23.shape[1]]
+    root_aa = sRot.from_quat(quat).as_rotvec().astype(np.float32)
+    T = len(dof23)
+    pose_aa = np.concatenate(
+        [root_aa[:, None], axes[None] * dof23[:, :, None],
+         np.zeros((T, 3, 3), np.float32)], axis=1)
+    return {
+        "root_trans_offset": trans,
+        "pose_aa": pose_aa.astype(np.float32),
+        "dof": dof23,
+        "root_rot": quat,
+        "fps": int(clip.get("fps", 30)),
+    }
+
+
 def lafan_to_pkl(csv_path: str, start=0, end=None, fps=30):
     """LAFAN-style CSV -> motion dict (reference motion_source/
     convert_lafan_pkl.py:8-39): rows are [root_trans(3), root_quat xyzw(4),
@@ -174,6 +209,12 @@ def main(argv=None):
         clip = lafan_to_pkl(src, start, end, fps=int(kv.get("fps", 30)))
         joblib.dump({f"{name}_{start}_{end if end is not None else 'end'}": clip},
                     dst, compress=3)
+        print(f"wrote {dst}")
+        return
+    if cmd == "ue":
+        name = src.rsplit("/", 1)[-1].split(".")[0]
+        clip = convert_ue_to_23dof(joblib.load(src))
+        joblib.dump({name: clip}, dst, compress=3)
         print(f"wrote {dst}")
         return
     data = joblib.load(src)

@@ -83,3 +83,39 @@ def test_lafan_to_pkl(tmp_path):
     assert clip["root_rot"].shape == (T, 4)
     assert clip["fps"] == 30
     np.testing.assert_allclose(clip["dof"][:, 0], rows[:, 7], atol=1e-6)
+
+
+def test_convert_ue_to_23dof(tmp_path):
+    """UE walk converter (reference convert_ue_walk_to_23dof.py): loose key
+    names, 29->23 wrist drop, pose_aa rebuilt from MJCF joint axes."""
+    from scipy.spatial.transform import Rotation as sRot
+    from pbhc_tpu.motion.tools import convert_ue_to_23dof
+
+    T = 12
+    rng = np.random.default_rng(0)
+    quat = sRot.from_euler("z", rng.uniform(-1, 1, (T, 1))).as_quat().astype(np.float32)
+    raw = {"g1_ue_walk": {
+        "dof_pos": rng.normal(0, 0.2, (T, 29)).astype(np.float32),
+        "root_pos": rng.normal(0, 0.1, (T, 3)).astype(np.float32),
+        "root_rot": quat,
+        "fps": 50,
+    }}
+    out = convert_ue_to_23dof(raw)
+    assert out["dof"].shape == (T, 23)
+    assert out["pose_aa"].shape == (T, 27, 3)
+    assert out["fps"] == 50
+    # wrist dofs 19:22 and 26:29 dropped
+    np.testing.assert_allclose(out["dof"][:, :19], raw["g1_ue_walk"]["dof_pos"][:, :19])
+    np.testing.assert_allclose(out["dof"][:, 19:], raw["g1_ue_walk"]["dof_pos"][:, 22:26])
+    # pose_aa root block is the root rotvec
+    np.testing.assert_allclose(out["pose_aa"][:, 0], sRot.from_quat(quat).as_rotvec(),
+                               atol=1e-5)
+    # it loads through the MotionLib
+    import joblib, jax
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.motion_lib import MotionLib
+
+    mf = str(tmp_path / "ue.pkl")
+    joblib.dump({"g1_ue_walk": out}, mf)
+    ml = MotionLib(mf, load_g1_motion_model(), 1, 0.02)
+    assert int(ml.data.num_frames[0]) == T
