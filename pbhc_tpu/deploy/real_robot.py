@@ -83,7 +83,14 @@ class RealRobotController:
 
     def __init__(self, policy_path, transport: Transport, motion_file=None,
                  ctrl_dt=0.02, move_duration_s=2.0, realtime=False):
-        self.policy = NumpyPolicy(policy_path)
+        # native C++ core when buildable (deterministic tick latency —
+        # the onnxruntime-equivalent); numpy fallback otherwise
+        try:
+            from pbhc_tpu.deploy.native import NativePolicy
+
+            self.policy = NativePolicy(policy_path)
+        except Exception:
+            self.policy = NumpyPolicy(policy_path)
         self.meta = self.policy.meta
         self.obs_builder = ObsBuilder(self.meta)
         self.transport = transport
