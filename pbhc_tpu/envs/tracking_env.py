@@ -305,11 +305,19 @@ class MotionTrackingEnv:
             lo, hi = dr.friction_range
             friction = jax.random.uniform(ks[3], (N,), minval=lo, maxval=hi)
 
+        # per-env restitution (reference isaacgym.py:325-332; default off, 0.0)
+        restitution = jnp.full((N,), float(
+            (self.config.get("terrain") or {}).get("restitution", 0.0)))
+        if dr.get("randomize_restitution", False):
+            lo, hi = dr.restitution_range
+            restitution = jax.random.uniform(ks[5], (N,), minval=lo, maxval=hi)
+
         params = SimParams(
             mass=mass,
             com=com,
             inertia=inertia,
             friction=friction,
+            restitution=restitution,
             armature=jnp.broadcast_to(base.armature, (N, self.nd)),
             dof_damping=jnp.broadcast_to(base.dof_damping, (N, self.nd)),
             dof_frictionloss=jnp.broadcast_to(base.dof_frictionloss, (N, self.nd)),

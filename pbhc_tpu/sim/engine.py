@@ -75,6 +75,7 @@ class SimParams:
     com: jax.Array           # [B,3] body frame
     inertia: jax.Array       # [B,3,3] body frame about com
     friction: jax.Array      # [] per-env ground friction coefficient
+    restitution: jax.Array   # [] per-env contact restitution (0 = inelastic)
     armature: jax.Array      # [nd]
     dof_damping: jax.Array   # [nd] viscous joint damping
     dof_frictionloss: jax.Array  # [nd] Coulomb joint friction (smoothed)
@@ -182,6 +183,7 @@ class Engine:
             com=jnp.asarray(m.com[: self.nb], dtype=jnp.float32),
             inertia=jnp.asarray(m.inertia[: self.nb], dtype=jnp.float32),
             friction=jnp.asarray(1.0, dtype=jnp.float32),
+            restitution=jnp.asarray(0.0, dtype=jnp.float32),
             armature=jnp.asarray(m.dof_armature, dtype=jnp.float32),
             dof_damping=jnp.asarray(m.dof_damping, dtype=jnp.float32),
             dof_frictionloss=jnp.asarray(m.dof_frictionloss, dtype=jnp.float32),
@@ -420,7 +422,9 @@ class Engine:
         b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
         b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
         v0 = (Jf @ u_plus).reshape(K, 3)
-        b = v0.at[:, 2].add(-b_err)                                    # residual velocity target 0
+        # residual velocity target 0; restitution biases the normal row so the
+        # post-impulse normal velocity is -e * (approaching pre-impulse vel)
+        b = v0.at[:, 2].add(-b_err + params.restitution * jnp.minimum(v0[:, 2], 0.0))
 
         mu = params.friction
 

@@ -352,7 +352,9 @@ class LanesEngine:
         b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
         b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
         v0 = jnp.sum(Jf * u_plus[None], axis=1).reshape(K, 3, N)   # [K,3,N]
-        b = v0.at[:, 2].add(-b_err).reshape(K * 3, N)
+        # restitution bias: post-impulse normal velocity target -e * v_n^-
+        b = v0.at[:, 2].add(-b_err + paramsT["restitution"][None]
+                            * jnp.minimum(v0[:, 2], 0.0)).reshape(K * 3, N)
 
         kernel = self.opt.lanes_contact_kernel
         if N % 128 == 0 and (kernel == "pallas" or
@@ -442,6 +444,7 @@ class LanesEngine:
             com=jnp.moveaxis(params.com, 0, -1),                  # [N,B,3]->[B,3,N]
             inertia=jnp.moveaxis(params.inertia, 0, -1),          # [N,B,3,3]->[B,3,3,N]
             friction=params.friction,                             # [N]
+            restitution=params.restitution,                       # [N]
             armature=params.armature.T,                           # [nd,N]
             dof_damping=params.dof_damping.T,
             dof_frictionloss=params.dof_frictionloss.T,

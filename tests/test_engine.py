@@ -285,3 +285,32 @@ def test_pd_contact_behavior_matches_mujoco(engine):
         assert abs(pitch - pitch_mj) < 0.25, (k, pitch, pitch_mj)
 
 
+
+
+def test_restitution_bounce(engine):
+    """Per-env restitution (reference isaacgym.py:325-332): an elastic drop
+    rebounds, an inelastic one stays down."""
+    import dataclasses as dc
+
+    def drop(e):
+        params = dc.replace(engine.default_params(),
+                            restitution=jnp.asarray(e, jnp.float32))
+        state = engine.default_state(root_pos=(0.0, 0.0, 1.0))
+
+        def body(st, _):
+            st, _lam = engine.substep(params, st, jnp.zeros(engine.nd))
+            return st, st.root_pos[2]
+
+        _, zs = jax.jit(lambda s: jax.lax.scan(body, s, None, length=400))(state)
+        return np.asarray(zs)
+
+    zs0 = drop(0.0)
+    zs9 = drop(0.9)
+    # both reach the ground; the elastic one rebounds visibly higher after
+    # the first impact
+    t_impact = int(np.argmin(zs9))
+    assert zs9[t_impact] < 0.6
+    rebound9 = zs9[t_impact:].max() - zs9[t_impact]
+    rebound0 = zs0[int(np.argmin(zs0)):].max() - zs0.min()
+    assert rebound9 > rebound0 + 0.05, (rebound9, rebound0)
+    assert np.isfinite(zs9).all()

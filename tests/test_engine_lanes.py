@@ -32,6 +32,7 @@ def _batched_setup(eng, N=4, z=0.755):
         com=p0.com[None] + jax.random.normal(ks[1], (N, eng.nb, 3)) * 0.002,
         inertia=jnp.broadcast_to(p0.inertia, (N, eng.nb, 3, 3)),
         friction=jax.random.uniform(ks[2], (N,), minval=0.5, maxval=1.2),
+        restitution=jnp.zeros((N,)),
         armature=jnp.broadcast_to(p0.armature, (N, eng.nd)),
         dof_damping=jnp.broadcast_to(p0.dof_damping, (N, eng.nd)),
         dof_frictionloss=jnp.broadcast_to(p0.dof_frictionloss, (N, eng.nd)),
