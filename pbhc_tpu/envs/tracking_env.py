@@ -330,6 +330,32 @@ class MotionTrackingEnv:
         }
         return params, dr_obs
 
+    # ------------------------------------------------------- MPPI snapshots
+    @staticmethod
+    def get_mppi_buffers(state: EnvState, env_ids):
+        """Snapshot per-env state for MPPI-style branching rollouts
+        (reference legged_robot_base.py:688-713). EnvState is a pure pytree,
+        so the snapshot is one gather over the env axis."""
+        n = state.episode_length.shape[0]
+
+        def take(x):
+            return x[env_ids] if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n else x
+
+        return jax.tree.map(take, state)
+
+    @staticmethod
+    def set_mppi_buffers(state: EnvState, snapshot, env_ids):
+        """Restore a snapshot into the given env slots (scatter over env axis;
+        reference legged_robot_base.py:715-740 `set_mppi_buffers`)."""
+        n = state.episode_length.shape[0]
+
+        def put(full, snap):
+            if hasattr(full, "ndim") and full.ndim >= 1 and full.shape[0] == n:
+                return full.at[env_ids].set(snap)
+            return full
+
+        return jax.tree.map(put, state, snapshot)
+
     # --------------------------------------------------------------- helpers
     def _episodic_dr(self, key, n_shape):
         """Sample episodic DR fields (kp/kd/rfi/rao scales, delay, default pos).

@@ -186,3 +186,30 @@ def test_heavy_upper_added_mass_parallel_pd_dr():
     state = dataclasses.replace(state, history=hist)
     state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
     assert bool(jnp.isfinite(rew).all())
+
+
+def test_mppi_snapshot_roundtrip(env):
+    """get/set_mppi_buffers (reference legged_robot_base.py:688-740): branch
+    the env state, step the branch, restore — the restored state reproduces
+    the original rollout exactly (deterministic replay)."""
+    state = env.init_state(jax.random.PRNGKey(5))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(6))
+    state = dataclasses.replace(state, history=hist)
+    ids = jnp.arange(env.num_envs)
+    snap = env.get_mppi_buffers(state, ids)
+
+    step = jax.jit(env.step)
+    a = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (env.num_envs, env.nd))
+    s1, o1, r1, d1, _ = step(state, a)
+    # diverge: different action from the same snapshot
+    s2, *_ = step(state, -a)
+    restored = env.set_mppi_buffers(s2, snap, ids)
+    # RNG key and adaptive-sigma EMAs are shared, not env-axis buffers (the
+    # reference's MPPI buffers exclude its python-float curricula too); pin
+    # them for exact replay
+    restored = dataclasses.replace(restored, rng=state.rng,
+                                   sigma_values=state.sigma_values,
+                                   sigma_ema=state.sigma_ema)
+    s1b, o1b, r1b, d1b, _ = step(restored, a)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r1b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.sim.dof_pos), np.asarray(s1b.sim.dof_pos), atol=1e-6)
