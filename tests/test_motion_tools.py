@@ -119,3 +119,37 @@ def test_convert_ue_to_23dof(tmp_path):
     joblib.dump({"g1_ue_walk": out}, mf)
     ml = MotionLib(mf, load_g1_motion_model(), 1, 0.02)
     assert int(ml.data.num_frames[0]) == T
+
+
+def test_vis_rr_streams_with_stub(ref_motion_path):
+    """vis_rr viewer (reference robot_motion_process/vis_rr.py) drives any
+    rerun-compatible sink; exercised with a stub backend (rerun isn't in the
+    image)."""
+    from pbhc_tpu.vis.vis_rr import stream_motion
+
+    calls = []
+
+    class StubRR:
+        @staticmethod
+        def init(name, spawn=False):
+            calls.append(("init", name))
+
+        @staticmethod
+        def set_time_sequence(name, t):
+            pass
+
+        @staticmethod
+        def log(path, obj):
+            calls.append(("log", path))
+
+        @staticmethod
+        def LineStrips3D(x):
+            return x
+
+        @staticmethod
+        def Points3D(x):
+            return x
+
+    n = stream_motion(ref_motion_path, rr=StubRR)
+    assert n > 100
+    assert sum(1 for c in calls if c == ("log", "bodies")) == n
