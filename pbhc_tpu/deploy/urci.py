@@ -135,12 +135,17 @@ class URCIRobot(MujocoDeployRobot):
     def routing(self, total_steps=None, loop=True):
         """Run policies in sequence; motion end advances to the next policy."""
         self.reset()
-        traj = {"root_pos": [], "dof_pos": [], "pid": []}
+        traj = {"root_pos": [], "root_rot": [], "dof_pos": [], "dof_vel": [],
+                "root_lin_vel": [], "root_ang_vel": [], "pid": []}
         steps = 0
         while total_steps is None or steps < total_steps:
             self.control_step()
             traj["root_pos"].append(self.d.qpos[:3].copy())
+            traj["root_rot"].append(self.d.qpos[3:7][[1, 2, 3, 0]].copy())  # wxyz->xyzw
             traj["dof_pos"].append(self.q)
+            traj["dof_vel"].append(self.d.qvel[6:].copy())
+            traj["root_lin_vel"].append(self.d.qvel[:3].copy())
+            traj["root_ang_vel"].append(self.d.qvel[3:6].copy())
             traj["pid"].append(self.cur_pid)
             steps += 1
             if self.phase >= 1.0:  # motion end -> next policy (reference :188-197)
