@@ -98,6 +98,17 @@ def main(argv=None):
         except Exception as e:  # pragma: no cover - wandb not in test images
             print(f"[train] use_wandb=true but wandb unavailable ({e}); TB only")
 
+    # env-axis data parallelism when multiple devices are visible
+    # (pbhc_tpu/parallel/mesh.py; single-chip runs are unaffected)
+    if jax.device_count() > 1 and bool(cfg.get("multichip", True)):
+        from pbhc_tpu.parallel.mesh import make_mesh, shard_train_state
+
+        mesh = make_mesh()
+        assert int(cfg.num_envs) % jax.device_count() == 0, \
+            "num_envs must divide the device count"
+        ts = shard_train_state(ts, mesh, int(cfg.num_envs))
+        print(f"[train] sharded over {jax.device_count()} devices (env-axis DP)")
+
     num_iters = int(cfg.algo.config.num_learning_iterations)
     save_interval = int(cfg.algo.config.save_interval)
     log_interval = max(1, int(cfg.algo.config.get("logging_interval", 25)) // 5)
