@@ -106,6 +106,33 @@ def convert_29dof_to_23dof(clip: dict):
     return new
 
 
+def convert_23dof_to_29dof(clip: dict):
+    """Up-convert a lock-wrist 23-dof clip to the 29-dof order by inserting
+    zero wrist dofs (the inverse of the reference's 29->23 wrist strip,
+    convert_29dof_to_23dof.py) and rebuilding pose_aa on the 29-dof axes."""
+    dof23 = np.asarray(clip["dof"], dtype=np.float32)
+    assert dof23.shape[1] == 23, "expects a 23-dof clip"
+    T = len(dof23)
+    dof29 = np.zeros((T, 29), dtype=np.float32)
+    dof29[:, :19] = dof23[:, :19]
+    dof29[:, 22:26] = dof23[:, 19:23]
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+
+    model = load_g1_motion_model("g1_29dof_rev_1_0")
+    axes = np.asarray(model.dof_axis, dtype=np.float32)[:29]
+    quat = np.asarray(clip["root_rot"], dtype=np.float32)
+    root_aa = sRot.from_quat(quat).as_rotvec().astype(np.float32)
+    n_extend = max(model.num_bodies - 30, 0) or 3
+    pose_aa = np.concatenate(
+        [root_aa[:, None], axes[None] * dof29[:, :, None],
+         np.zeros((T, n_extend, 3), np.float32)], axis=1)
+    new = {k: v for k, v in clip.items() if k not in ("dof", "pose_aa", "smpl_joints")}
+    new["dof"] = dof29
+    new["pose_aa"] = pose_aa.astype(np.float32)
+    return new
+
+
 def convert_ue_to_23dof(raw):
     """UE-exported walk clip (29 dof, loose key names) -> training schema
     (reference convert_ue_walk_to_23dof.py): accepts flat or {name: clip}
@@ -234,6 +261,8 @@ def main(argv=None):
                 lead_out_s=float(kv.get("lead_out_s", 0.5)))
         elif cmd == "29to23":
             out[k] = convert_29dof_to_23dof(clip)
+        elif cmd == "23to29":
+            out[k] = convert_23dof_to_29dof(clip)
         elif cmd == "contact_mask":
             out[k] = compute_contact_mask(
                 clip, vel_thres=float(kv.get("vel_thres", 0.002)),

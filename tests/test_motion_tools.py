@@ -153,3 +153,27 @@ def test_vis_rr_streams_with_stub(ref_motion_path):
     n = stream_motion(ref_motion_path, rr=StubRR)
     assert n > 100
     assert sum(1 for c in calls if c == ("log", "bodies")) == n
+
+
+def test_convert_23dof_to_29dof(ref_motion_path, tmp_path):
+    """23->29 up-convert: wrist dofs zero, other dofs preserved, pose_aa on
+    the 29-dof axes, loads through the 29-dof MotionLib."""
+    import joblib
+    from pbhc_tpu.motion.tools import convert_23dof_to_29dof
+
+    raw = joblib.load(ref_motion_path)
+    k0 = next(iter(raw.keys()))
+    out = convert_23dof_to_29dof(raw[k0])
+    dof23 = np.asarray(raw[k0]["dof"])
+    assert out["dof"].shape == (len(dof23), 29)
+    np.testing.assert_allclose(out["dof"][:, :19], dof23[:, :19])
+    np.testing.assert_allclose(out["dof"][:, 22:26], dof23[:, 19:23])
+    assert (out["dof"][:, 19:22] == 0).all() and (out["dof"][:, 26:] == 0).all()
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.motion_lib import MotionLib
+
+    mf = str(tmp_path / "m29.pkl")
+    joblib.dump({k0: out}, mf)
+    ml = MotionLib(mf, load_g1_motion_model("g1_29dof_rev_1_0"), 1, 0.02)
+    assert int(ml.data.num_frames[0]) == len(dof23)
