@@ -15,6 +15,7 @@ CLI:
     python -m pbhc_tpu.motion.tools 29to23 in.pkl out.pkl
     python -m pbhc_tpu.motion.tools lafan in.csv out.pkl [start=0] [end=N] [fps=30]
     python -m pbhc_tpu.motion.tools contact_mask in.pkl out.pkl [vel_thres=] [height_thres=]
+    python -m pbhc_tpu.motion.tools edit_contact in.pkl out.pkl set=L:10:50:1 [set=R:0:-1:0 ...]
 """
 from __future__ import annotations
 
@@ -225,6 +226,23 @@ def compute_contact_mask(clip: dict, vel_thres=0.002, height_thres=0.12):
     return new
 
 
+def edit_contact_mask(clip: dict, edits):
+    """Hand-edit the contact mask over frame ranges — the CLI equivalent of
+    the reference's interactive mask editing in vis_q_mj.py (key-driven
+    toggle-and-resave, robot_motion_process/vis_q_mj.py:42-80).
+
+    `edits` is a list of (foot, start, end, value) with foot in {"L","R"},
+    end exclusive (negative indices allowed)."""
+    new = dict(clip)
+    T = len(np.asarray(clip["dof"]))
+    cm = np.asarray(clip.get("contact_mask", np.ones((T, 2))), dtype=np.float32).copy()
+    for foot, start, end, value in edits:
+        col = {"L": 0, "R": 1}[foot.upper()]
+        cm[start:end, col] = float(value)
+    new["contact_mask"] = cm
+    return new
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
     cmd, src, dst = argv[0], argv[1], argv[2]
@@ -263,6 +281,17 @@ def main(argv=None):
             out[k] = convert_29dof_to_23dof(clip)
         elif cmd == "23to29":
             out[k] = convert_23dof_to_29dof(clip)
+        elif cmd == "edit_contact":
+            edits = []
+            for a in argv[3:]:
+                key, val = a.split("=", 1)
+                if key != "set":
+                    continue
+                foot, start, end, value = val.split(":")
+                edits.append((foot, int(start), int(end), float(value)))
+            out[k] = edit_contact_mask(clip, edits)
+            on = out[k]["contact_mask"].mean(0)
+            print(f"{k}: contact fraction L={on[0]:.2f} R={on[1]:.2f}")
         elif cmd == "contact_mask":
             out[k] = compute_contact_mask(
                 clip, vel_thres=float(kv.get("vel_thres", 0.002)),

@@ -177,3 +177,26 @@ def test_convert_23dof_to_29dof(ref_motion_path, tmp_path):
     joblib.dump({k0: out}, mf)
     ml = MotionLib(mf, load_g1_motion_model("g1_29dof_rev_1_0"), 1, 0.02)
     assert int(ml.data.num_frames[0]) == len(dof23)
+
+
+def test_edit_contact_mask_cli(ref_motion_path, tmp_path):
+    """edit_contact CLI sets mask ranges per foot and leaves the rest alone."""
+    import joblib
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "edited.pkl")
+    r = subprocess.run(
+        [sys.executable, "-m", "pbhc_tpu.motion.tools", "edit_contact",
+         ref_motion_path, out, "set=L:10:20:0", "set=R:0:5:1"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    orig = joblib.load(ref_motion_path)
+    new = joblib.load(out)
+    k = next(iter(orig))
+    cm0 = np.asarray(orig[k]["contact_mask"], np.float32)
+    cm1 = np.asarray(new[k]["contact_mask"], np.float32)
+    assert (cm1[10:20, 0] == 0).all() and (cm1[0:5, 1] == 1).all()
+    cm0[10:20, 0] = 0
+    cm0[0:5, 1] = 1
+    np.testing.assert_allclose(cm1, cm0)
