@@ -180,7 +180,8 @@ class MHPPO:
             entropy = gaussian_entropy(std).mean()
             loss = surrogate - self.entropy_coef * entropy
             if bool(self.config.l2c2.enable):
-                u = jax.random.uniform(jax.random.PRNGKey(0), aobs.shape[:-1] + (1,)) * 2 - 1
+                u = jax.random.uniform(jax.random.fold_in(batch["_key"], 0),
+                                       aobs.shape[:-1] + (1,)) * 2 - 1
                 u_obs = aobs + u * (batch["next_actor_obs"].astype(jnp.float32) - aobs)
                 u_mean, _ = self.actor.apply(ap, u_obs)
                 loss = loss + float(self.config.l2c2.lambda_policy) * ((batch["actions"] - u_mean) ** 2).mean()
@@ -201,7 +202,8 @@ class MHPPO:
                 vloss = ((returns - value) ** 2).sum(-1).mean()
             loss = self.value_loss_coef * vloss
             if bool(self.config.l2c2.enable):
-                u = jax.random.uniform(jax.random.PRNGKey(1), cobs.shape[:-1] + (1,)) * 2 - 1
+                u = jax.random.uniform(jax.random.fold_in(batch["_key"], 1),
+                                       cobs.shape[:-1] + (1,)) * 2 - 1
                 u_obs = cobs + u * (batch["next_critic_obs"].astype(jnp.float32) - cobs)
                 u_val = self.critic.apply(cp, u_obs)
                 loss = loss + float(self.config.l2c2.lambda_value) * ((value - u_val) ** 2).mean()
@@ -248,6 +250,9 @@ class MHPPO:
             perm = jax.random.permutation(kp, T * N)
             shuf = {k: v[perm] for k, v in flat.items()}
             batches = {k: v.reshape(self.num_minibatches, mb_size, *v.shape[1:]) for k, v in shuf.items()}
+            # fresh L2C2 interpolation noise per minibatch (the reference
+            # draws torch randoms each update step)
+            batches["_key"] = jax.random.split(jax.random.fold_in(rng, 7), self.num_minibatches)
             carry, metrics = jax.lax.scan(self._minibatch_update, carry, batches)
             return (carry, rng), metrics
 

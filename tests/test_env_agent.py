@@ -110,6 +110,29 @@ def test_ppo_iteration_runs_and_learns_something():
     assert int(ts.iteration) == 2
 
 
+def test_ppo_l2c2_iteration():
+    """L2C2 smoothness regularizer path compiles and trains (reference
+    mh_ppo.py:488-507); interpolation noise is drawn per minibatch."""
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={MOTION}",
+         "algo.config.num_steps_per_env=4", "algo.config.num_mini_batches=2",
+         "algo.config.num_learning_epochs=1",
+         "algo.config.l2c2.enable=true"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    algo = MHPPO(cfg, env)
+    ts = algo.init_train_state(jax.random.PRNGKey(1))
+    ts, log = algo.train_iteration(ts)
+    assert np.isfinite(float(log["Loss/surrogate"]))
+    assert int(ts.iteration) == 1
+
+
 def test_close_to_limit_terminations():
     """Probabilistic limit terminations fire under extreme joint velocities
     (reference legged_robot_base.py:449-477)."""
