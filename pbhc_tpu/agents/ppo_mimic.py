@@ -32,6 +32,33 @@ from pbhc_tpu.agents.networks import gaussian_entropy, gaussian_log_prob
 from pbhc_tpu.sim.engine import _pytree_dataclass
 
 
+def build_mimic_net(algo_cfg, num_act, future_dim, future_steps,
+                    history_dim, history_steps) -> MimicActorCritic:
+    """Construct the actor-critic net from an algo config subtree — shared by
+    PPOMimic and the frozen-teacher loader (which must build the net from the
+    TEACHER's config, not the student's; reference ppo_mimic.py:147-161)."""
+    a_cfg = algo_cfg.module_dict.actor
+    v_cfg = algo_cfg.module_dict.critic
+    return MimicActorCritic(
+        actor_hidden=tuple(a_cfg.layer_config.hidden_dims),
+        critic_hidden=tuple(v_cfg.layer_config.hidden_dims),
+        num_actions=num_act,
+        num_values=1,
+        future_steps=future_steps,
+        future_per_step=future_dim // future_steps,
+        history_steps=history_steps,
+        history_per_step=history_dim // history_steps,
+        init_noise_std=float(algo_cfg.init_noise_std),
+        min_sigma=float(a_cfg.get("min_sigma", 0.2)),
+        max_sigma=float(a_cfg.get("max_sigma", 1.2)),
+        activation=a_cfg.layer_config.activation,
+        actor_type=str(a_cfg.layer_config.get("type", "MLP")),
+        critic_type=str(v_cfg.layer_config.get("type", "MLP")),
+        num_experts=int(a_cfg.layer_config.get("num_experts", 4)),
+        top_k=int(a_cfg.layer_config.get("top_k", 2)),
+    )
+
+
 @_pytree_dataclass
 class MimicTrainState:
     params: dict
@@ -82,24 +109,8 @@ class PPOMimic:
         self.critic_type = str(v_cfg.layer_config.get("type", "MLP"))
         self.use_moe = "MoEMLP" in (self.actor_type, self.critic_type)
         self.lb_alpha = float(c.get("load_balancing_loss_alpha", 1e-2))
-        self.net = MimicActorCritic(
-            actor_hidden=tuple(a_cfg.layer_config.hidden_dims),
-            critic_hidden=tuple(v_cfg.layer_config.hidden_dims),
-            num_actions=self.num_act,
-            num_values=1,
-            future_steps=fsteps,
-            future_per_step=self.future_dim // fsteps,
-            history_steps=hsteps,
-            history_per_step=self.history_dim // hsteps,
-            init_noise_std=float(c.init_noise_std),
-            min_sigma=float(a_cfg.get("min_sigma", 0.2)),
-            max_sigma=float(a_cfg.get("max_sigma", 1.2)),
-            activation=a_cfg.layer_config.activation,
-            actor_type=self.actor_type,
-            critic_type=self.critic_type,
-            num_experts=int(a_cfg.layer_config.get("num_experts", 4)),
-            top_k=int(a_cfg.layer_config.get("top_k", 2)),
-        )
+        self.net = build_mimic_net(c, self.num_act, self.future_dim, fsteps,
+                                   self.history_dim, hsteps)
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=float(c.learning_rate)),

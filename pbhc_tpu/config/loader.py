@@ -192,7 +192,9 @@ def parse_cli(argv):
     for a in argv:
         a = a.lstrip("+")
         key = a.split("=", 1)[0]
-        if "." in key or key in {"num_envs", "seed", "checkpoint", "experiment_name", "project_name", "headless", "base_dir"}:
+        if "." in key or key in {"num_envs", "seed", "checkpoint", "experiment_name",
+                                 "project_name", "headless", "base_dir", "multichip",
+                                 "use_wandb", "save_motion", "log_task_name"}:
             ovs.append(a)
         else:
             sels.append(a)

@@ -46,13 +46,23 @@ def main(argv=None):
     env_cls = resolve(cfg.env.target)
     algo_cls = resolve(cfg.algo.target)
 
+    # distill mode: make the student env ALSO compute the teacher's obs groups
+    # (reference ppo_mimic.py:121-145 _preprocess_teacher_config injects
+    # teacher_actor_obs / teacher_future_motion_targets into the env obs dict)
+    teacher_path = cfg.algo.config.get("teacher_model_path")
+    teacher_cfg = None
+    if teacher_path:
+        teacher_cfg = load_teacher_config(teacher_path)
+        cfg.obs.obs_dict["teacher_actor_obs"] = list(teacher_cfg.obs.obs_dict["actor_obs"])
+        cfg.obs.obs_dict["teacher_future_motion_targets"] = \
+            list(teacher_cfg.obs.obs_dict["future_motion_targets"])
+
     key = jax.random.PRNGKey(int(cfg.seed))
     k_env, k_algo = jax.random.split(key)
     env = env_cls(cfg, int(cfg.num_envs), k_env)
     algo_kwargs = {}
-    teacher_path = cfg.algo.config.get("teacher_model_path")
     if teacher_path:
-        algo_kwargs["teacher"] = load_teacher(teacher_path, cfg, env)
+        algo_kwargs["teacher"] = load_teacher(teacher_path, teacher_cfg, env)
     algo = algo_cls(cfg, env, **algo_kwargs)
     ts = algo.init_train_state(k_algo)
 
@@ -153,25 +163,46 @@ def main(argv=None):
     return ts
 
 
-def load_teacher(ckpt_path, cfg, env):
-    """Frozen teacher for distill mode (reference ppo_mimic.py:121-145).
+def load_teacher_config(ckpt_path):
+    """Load the teacher run's config snapshot (ckpt-adjacent, like eval)."""
+    from pbhc_tpu.config.loader import Cfg
 
-    The teacher checkpoint must come from a PPOMimic run on a compatible obs
-    layout; returns (apply_fn, params) acting deterministically with the priv
-    encoder latent.
+    cfg_file = Path(ckpt_path).parent.parent / "config.yaml"
+    return Cfg.wrap(yaml.safe_load(cfg_file.read_text()))
+
+
+def load_teacher(ckpt_path, teacher_cfg, env):
+    """Frozen teacher for distill mode (reference ppo_mimic.py:121-161).
+
+    The teacher net is built from the TEACHER's own config (its obs layout
+    differs from the student's) and fed the teacher-side obs groups the
+    student env was extended with; returns (apply_fn, params) acting
+    deterministically with the priv-encoder latent.
     """
     import pickle
 
     from pbhc_tpu.agents.mimic_networks import MimicActorCritic
-    from pbhc_tpu.agents.ppo_mimic import PPOMimic
+    from pbhc_tpu.agents.ppo_mimic import build_mimic_net
 
     with open(ckpt_path, "rb") as f:
         payload = pickle.load(f)
-    teacher_algo = PPOMimic(cfg, env)
     t_params = payload["params"] if "params" in payload else payload["actor_params"]
 
+    net = build_mimic_net(
+        teacher_cfg.algo.config, env.nd,
+        env.obs_dim("teacher_future_motion_targets"),
+        int(teacher_cfg.obs.future_num_steps),
+        env.obs_dim("prop_history"),
+        int(teacher_cfg.obs.history_length))
+
     def apply_fn(params, obs):
-        mean, _ = teacher_algo.net.apply(params, obs, False, method=MimicActorCritic.act)
+        tobs = {
+            "actor_obs": obs["teacher_actor_obs"],
+            "future_motion_targets": obs["teacher_future_motion_targets"],
+            "priv_obs": obs["priv_obs"],
+            "prop_history": obs["prop_history"],
+        }
+        mean, _ = net.apply(params, tobs, False, method=MimicActorCritic.act)
         return mean
 
     return apply_fn, t_params

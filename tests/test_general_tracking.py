@@ -196,3 +196,47 @@ def test_distill_mode(env):
     for _ in range(3):
         ts, log = algo.train_iteration(ts)
     assert float(log["Loss/bc"]) < bc0  # student moves toward the teacher
+
+
+def test_distill_teacher_obs_remap(multi_motion, tmp_path):
+    """Student training with a teacher whose obs layout DIFFERS: the student
+    env gains teacher_actor_obs / teacher_future_motion_targets groups and the
+    teacher net is built from the teacher's own config (reference
+    ppo_mimic.py:121-161 _preprocess_teacher_config)."""
+    import json
+    import pickle
+
+    import yaml
+
+    from pbhc_tpu.agents.ppo_mimic import PPOMimic, build_mimic_net
+    from pbhc_tpu.envs.general_tracking_env import GeneralTrackingEnv
+
+    common = ["exp=general_tracking", "robot=g1_29dof",
+              "rewards=general_tracking", "domain_rand=main", "simulator=tpu"]
+    tiny = ["num_envs=2", f"robot.motion.motion_file={multi_motion}",
+            "algo.config.num_steps_per_env=2", "algo.config.num_mini_batches=1",
+            "algo.config.num_learning_epochs=1"]
+
+    # fabricate a teacher run dir: random-init params + config snapshot
+    t_cfg = compose(CFG_DIR, common + ["obs=general_tracking_teacher"], tiny)
+    t_env = GeneralTrackingEnv(t_cfg, 2, jax.random.PRNGKey(0))
+    t_algo = PPOMimic(t_cfg, t_env)
+    t_params = t_algo.net.init(jax.random.PRNGKey(9), t_algo._dummy_obs())
+    run = tmp_path / "teacher_run"
+    (run / "ckpt").mkdir(parents=True)
+    with open(run / "ckpt" / "model_1.pkl", "wb") as f:
+        pickle.dump({"params": t_params, "iteration": 1, "lr": 1e-3}, f)
+    (run / "config.yaml").write_text(yaml.safe_dump(json.loads(json.dumps(t_cfg))))
+
+    # student env has a different actor_obs / future-target layout
+    from pbhc_tpu.train import main as train_main
+
+    ts = train_main(common + ["obs=general_tracking_student"] + tiny + [
+        f"algo.config.teacher_model_path={run / 'ckpt' / 'model_1.pkl'}",
+        "algo.config.dagger_only=true",
+        "algo.config.num_learning_iterations=1",
+        "algo.config.save_interval=10",
+        f"base_dir={tmp_path / 'logs'}",
+        "multichip=false",
+        "experiment_name=distill_remap"])
+    assert int(ts.iteration) == 1
