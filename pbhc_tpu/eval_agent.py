@@ -174,15 +174,18 @@ def main(argv=None):
 
     results = {"accuracy": acc, "smoothness": smooth, "completion_ratio": ratio}
 
-    # --- optional MuJoCo sim2sim replay
+    # --- optional MuJoCo sim2sim replay, scored with the full metric suite
+    # (reference idiom: urci.py replay + measure_traj.py metrics)
     if sim2sim:
-        from pbhc_tpu.deploy.mujoco_runtime import MujocoDeployRobot
+        from pbhc_tpu.eval.sim2sim import rollout_metrics
 
-        robot = MujocoDeployRobot(npz_path, str(cfg.robot.motion.motion_file))
-        mj_traj = robot.rollout()
-        print(f"[eval] sim2sim replay: {len(mj_traj['dof_pos'])} steps, "
-              f"final root z={mj_traj['root_pos'][-1, 2]:.3f}")
-        results["sim2sim_final_z"] = float(mj_traj["root_pos"][-1, 2])
+        s2s = rollout_metrics(npz_path, cfg.robot.motion.motion_file,
+                              robot_type=str(cfg.robot.robot_type))
+        print(f"[eval] sim2sim replay: {s2s['steps']} steps, "
+              f"final root z={s2s['final_z']:.3f}, "
+              f"E_mpjpe={s2s['accuracy']['E_mpjpe']:.1f}mm")
+        results["sim2sim_final_z"] = s2s["final_z"]
+        results["sim2sim"] = s2s
 
     # --- optional motion dump in the training-data schema
     # (reference motion_tracking.py:140-169,860-940 `save_motion`)

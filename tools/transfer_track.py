@@ -11,6 +11,8 @@ import json
 import sys
 from pathlib import Path
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -40,6 +42,9 @@ def main():
                "E_mpjpe": res["accuracy"]["E_mpjpe"],
                "L2_dof_jerk": res["smoothness"]["L2_dof_jerk"],
                "sim2sim_final_z": res.get("sim2sim_final_z")}
+        if "sim2sim" in res:
+            rec["sim2sim_E_mpjpe"] = res["sim2sim"]["accuracy"]["E_mpjpe"]
+            rec["sim2sim_L2_dof_jerk"] = res["sim2sim"]["smoothness"]["L2_dof_jerk"]
         with open(out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(f"[track] {rec}")
