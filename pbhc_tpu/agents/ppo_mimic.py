@@ -223,7 +223,8 @@ class PPOMimic:
                 self.net.apply(p, batch["prop_history"], method=MimicActorCritic.hist_latent))
             priv_reg = jnp.linalg.norm(priv_lat - hist_lat, axis=-1).mean()
             coef = self._priv_reg_coef(it)
-            kl = jnp.sum(jnp.log(std / (batch["std"] + 1e-5))
+            # reference kl: log(sigma/old_sigma + 1e-5) (ppo.py:408-424 idiom)
+            kl = jnp.sum(jnp.log(std / batch["std"] + 1e-5)
                          + (batch["std"] ** 2 + (batch["mean"] - mean) ** 2) / (2 * std**2) - 0.5,
                          axis=-1).mean()
             loss = (surr - self.entropy_coef * entropy + self.value_loss_coef * vloss
