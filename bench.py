@@ -14,6 +14,11 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the full env-step scan is a big graph (fresh
+# remote compile can take >10 min); cached reruns start in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
