@@ -845,6 +845,15 @@ class MotionTrackingEnv:
             gate = jax.random.uniform(kt[2], ()) < float(tprob.terminate_when_close_to_torque_limit)
             term["torque_limit"] = (out > 0) & gate
         term = self._extra_terminations(term, diffs, state)
+        # non-finite state guard: NaN/Inf fails every comparison above, so a
+        # blown-up env would otherwise NEVER terminate and poison the batch
+        # until timeout (the reference instead hard-asserts on NaN,
+        # motion_tracking.py:64-66; resetting the env is the jit-safe analog)
+        term["nonfinite"] = ~(
+            jnp.isfinite(sim.dof_pos).all(-1)
+            & jnp.isfinite(sim.dof_vel).all(-1)
+            & jnp.isfinite(sim.root_pos).all(-1)
+            & jnp.isfinite(sim.root_quat).all(-1))
         for v in term.values():
             reset_buf = reset_buf | v
 
@@ -951,7 +960,9 @@ class MotionTrackingEnv:
             cols.append(rew)
         # termination head (reference legged_robot_base.py:740-747,944-946)
         cols.append((rs["reset_buf"] & ~rs["time_out"]).astype(jnp.float32) * self.termination_scale)
-        rew_vec = jnp.stack(cols, axis=-1)
+        # one non-finite reward (terminal step of a blown-up env) would NaN
+        # the GAE/update for the whole batch; the env resets next step anyway
+        rew_vec = jnp.nan_to_num(jnp.stack(cols, axis=-1), nan=0.0, posinf=0.0, neginf=0.0)
 
         # adaptive tracking sigma (reference motion_tracking.py:1030-1052)
         sigma_values, sigma_ema = state.sigma_values, state.sigma_ema
@@ -1259,7 +1270,12 @@ class MotionTrackingEnv:
                 else:
                     parts.append(noisy(name, keys[ki]))
                     ki += 1
-            obs_dict[group] = jnp.clip(jnp.concatenate(parts, axis=-1), -self.clip_obs, self.clip_obs)
+            # nan_to_num: clip() passes NaN through, and one non-finite obs
+            # row (a blown-up env in its terminal step) would NaN the policy
+            # gradients for the whole minibatch
+            obs_dict[group] = jnp.nan_to_num(
+                jnp.clip(jnp.concatenate(parts, axis=-1), -self.clip_obs, self.clip_obs),
+                nan=0.0, posinf=self.clip_obs, neginf=-self.clip_obs)
         return obs_dict, new_hist
 
     def obs_dim(self, group):

@@ -60,6 +60,19 @@ def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True
     if body_spheres:
         spheres = [s for s in G1_BODY_SPHERES if s[0] in model.body_names]
         model = model.add_collision_spheres(spheres)
+    # the official g1_29dof_rev_1_0.xml carries NO <default> joint
+    # armature/damping (the lock-wrist sim file sets 0.01/0.001); with zero
+    # armature the ~1e-5 kgm^2 wrist links are numerically unstable at 200 Hz
+    # (undamped oscillation grows until blowup) in ANY engine — floor the
+    # values at the G1 sim defaults when the MJCF leaves them unset
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    if float(_np.max(model.dof_armature)) == 0.0:
+        model = _dc.replace(model, dof_armature=_np.full(model.num_dof, 0.01, _np.float64))
+    if model.dof_damping is None or float(_np.max(model.dof_damping)) == 0.0:
+        model = _dc.replace(model, dof_damping=_np.full(model.num_dof, 0.001, _np.float64))
     return model
 
 

@@ -21,6 +21,11 @@ import jax
 import numpy as np
 import yaml
 
+# persistent compile cache: the fused rollout+update graph is large (fresh
+# remote compile can take >10 min); cached relaunches resume in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]

@@ -314,3 +314,31 @@ def test_restitution_bounce(engine):
     rebound0 = zs0[int(np.argmin(zs0)):].max() - zs0.min()
     assert rebound9 > rebound0 + 0.05, (rebound9, rebound0)
     assert np.isfinite(zs9).all()
+
+
+def test_29dof_ragdoll_stable():
+    """The official 29-DoF MJCF has no joint armature/damping defaults; the
+    builder must floor them or the tiny-inertia wrist joints explode under
+    contact at 200 Hz (regression: wrists oscillated to the velocity clamp
+    and launched the robot)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pbhc_tpu.model.g1 import load_g1_sim_model
+    from pbhc_tpu.sim.engine import Engine, EngineOptions
+
+    m = load_g1_sim_model("g1_29dof_rev_1_0")
+    assert float(np.min(m.dof_armature)) > 0.0
+    eng = Engine(m, EngineOptions())
+    params = eng.default_params()
+    st = eng.default_state(root_pos=(0.0, 0.0, 0.793))
+
+    def body(s, _):
+        s, _lam = eng.substep(params, s, jnp.zeros((29,)))
+        return s, jnp.abs(s.dof_vel).max()
+
+    st, vmax = jax.lax.scan(jax.jit(body), st, None, length=400)
+    assert bool(jnp.isfinite(vmax).all())
+    assert float(vmax.max()) < 60.0          # no clamp-saturating oscillation
+    assert 0.02 < float(st.root_pos[2]) < 0.5  # settled on the ground

@@ -110,6 +110,35 @@ def test_ppo_iteration_runs_and_learns_something():
     assert int(ts.iteration) == 2
 
 
+def test_nonfinite_state_terminates_and_sanitizes():
+    """A blown-up (NaN) env terminates via the nonfinite guard and emits
+    finite obs/rewards so the batch is not poisoned (the reference instead
+    hard-asserts on NaN, motion_tracking.py:64-66)."""
+    import dataclasses
+
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=4", f"robot.motion.motion_file={MOTION}"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    bad_dof = state.sim.dof_pos.at[1].set(jnp.nan)
+    state = dataclasses.replace(state, sim=dataclasses.replace(state.sim, dof_pos=bad_dof))
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((4, env.nd)))
+    assert bool(done[1])
+    assert bool(jnp.isfinite(rew).all())
+    for k, v in obs.items():
+        assert bool(jnp.isfinite(v).all()), k
+    # the reset replaced the poisoned env's state with a fresh motion frame
+    assert bool(jnp.isfinite(state.sim.dof_pos).all())
+
+
 def test_ppo_l2c2_iteration():
     """L2C2 smoothness regularizer path compiles and trains (reference
     mh_ppo.py:488-507); interpolation noise is drawn per minibatch."""
