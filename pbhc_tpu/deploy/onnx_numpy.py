@@ -203,9 +203,10 @@ class OnnxPolicy:
             elif op == "Slice":
                 starts, ends = x[1], x[2]
                 axes = x[3] if len(x) > 3 else np.arange(len(starts))
+                steps = x[4] if len(x) > 4 else np.ones(len(starts), np.int64)
                 sl = [slice(None)] * x[0].ndim
-                for st, en, ax in zip(starts, ends, axes):
-                    sl[int(ax)] = slice(int(st), int(en))
+                for st, en, ax, sp in zip(starts, ends, axes, steps):
+                    sl[int(ax)] = slice(int(st), int(en), int(sp))
                 y = x[0][tuple(sl)]
             elif op == "Conv":
                 # NCW 1-D convolution, VALID padding (pads [0,0])

@@ -250,7 +250,7 @@ class MotionTrackingEnv:
         N = self.num_envs
         m = self.sim_model
         dr = self.dr
-        base = Engine(m).default_params() if False else self.engine.default_params()
+        base = self.engine.default_params()
         ks = jax.random.split(key, 6)
 
         mass = jnp.broadcast_to(base.mass, (N, self.nb)).copy()
@@ -803,7 +803,6 @@ class MotionTrackingEnv:
         dif_body_ang_vel = diffs["dif_body_ang_vel"]
         dif_joint_pos = diffs["dif_joint_pos"]
         dif_joint_vel = diffs["dif_joint_vel"]
-        ref_phase = jnp.clip(motion_times / state.motion_len, 0.0, 1.05)[:, None]
 
         # ---- termination (reference legged_robot_base.py:408-489 + motion_tracking.py:330-357)
         term = {}

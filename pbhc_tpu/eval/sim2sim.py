@@ -10,7 +10,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def rollout_metrics(policy_path, motion_file, robot_type="g1_23dof_lock_wrist"):
+def rollout_metrics(policy_path, motion_file, robot_type="g1_23dof_lock_wrist",
+                    fix_height="no_fix"):
     """Roll `policy_path` (.npz export or reference .onnx) through the MuJoCo
     deploy runtime for one motion length and score it against the reference
     motion. Returns {"accuracy", "smoothness", "steps", "final_z"}."""
@@ -39,7 +40,10 @@ def rollout_metrics(policy_path, motion_file, robot_type="g1_23dof_lock_wrist"):
         "root_vel": np.stack(traj["root_lin_vel"]),
     }
 
-    ml = MotionLib(str(motion_file), model, num_envs=1, step_dt=robot.ctrl_dt)
+    # thread the training run's fix_height so metrics are scored against the
+    # same (possibly height-shifted) reference the policy was trained on
+    ml = MotionLib(str(motion_file), model, num_envs=1, step_dt=robot.ctrl_dt,
+                   fix_height=str(fix_height))
     times = jnp.asarray(np.arange(T) * robot.ctrl_dt)
     mres = get_motion_state(ml.data, jnp.zeros(T, jnp.int32), times)
     ref_d = {

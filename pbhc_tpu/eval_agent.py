@@ -180,7 +180,8 @@ def main(argv=None):
         from pbhc_tpu.eval.sim2sim import rollout_metrics
 
         s2s = rollout_metrics(npz_path, cfg.robot.motion.motion_file,
-                              robot_type=str(cfg.robot.robot_type))
+                              robot_type=str(cfg.robot.robot_type),
+                              fix_height=str(cfg.robot.motion.get("fix_height", "no_fix")))
         print(f"[eval] sim2sim replay: {s2s['steps']} steps, "
               f"final root z={s2s['final_z']:.3f}, "
               f"E_mpjpe={s2s['accuracy']['E_mpjpe']:.1f}mm")

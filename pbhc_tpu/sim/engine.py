@@ -102,7 +102,9 @@ class SimState:
 @dataclasses.dataclass(frozen=True)
 class EngineOptions:
     dt: float = 1.0 / 200.0       # physics step (reference isaacgym.yaml fps: 200)
-    solver: str = "apgd"          # "apgd" (batched, TPU) or "pgs" (sequential, reference-grade)
+    solver: str = "apgd"          # "apgd" | "pgs" (sequential, reference-grade) | "pallas";
+                                  # shipped configs use "lanes" (engine_lanes.LanesEngine,
+                                  # selected in tracking_env — fastest measured path)
     solver_iters: int = 32        # impulse solver iterations
     baumgarte: float = 0.2        # error-correction fraction per step
     contact_margin: float = 0.0   # activate contacts below this height
@@ -521,7 +523,11 @@ class Engine:
         b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
         b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
         v0 = jnp.einsum("nij,nj->ni", Jf, u_plus).reshape(-1, K, 3)
-        b = v0.at[:, :, 2].add(-b_err).reshape(-1, K * 3)
+        # restitution bias matches the per-env path (_solve_contacts above)
+        rest = params.restitution
+        rest = rest[:, None] if rest.ndim == 1 else rest
+        b = v0.at[:, :, 2].add(
+            -b_err + rest * jnp.minimum(v0[:, :, 2], 0.0)).reshape(-1, K * 3)
 
         lam = solve_contacts_pallas(A, b, params.friction, active, iters=opt.solver_iters)
         imp = jnp.einsum("nji,nj->ni", Jf, lam.reshape(-1, K * 3))

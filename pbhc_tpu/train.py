@@ -7,8 +7,9 @@ Usage:
         algo.config.num_learning_iterations=2000
 
 Composes YAML config groups (pbhc_tpu/config/), instantiates the env + MHPPO,
-and runs jitted train iterations with TensorBoard logging and Orbax
-checkpointing.
+and runs jitted train iterations with TensorBoard logging and pickle
+checkpointing (model + optimizer + LR + iteration, reference
+train_agent.py:102-104 semantics).
 """
 from __future__ import annotations
 
@@ -27,6 +28,26 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+class _Tee:
+    """Mirror a stream into a per-run logfile (reference utils/logging.py)."""
+
+    def __init__(self, stream, path):
+        self._stream = stream
+        self._f = open(path, "a", buffering=1)
+
+    def write(self, s):
+        self._stream.write(s)
+        self._f.write(s)
+        return len(s)
+
+    def flush(self):
+        self._stream.flush()
+        self._f.flush()
+
+    def __getattr__(self, name):
+        return getattr(self._stream, name)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     from pbhc_tpu.config.loader import compose, parse_cli
@@ -39,6 +60,10 @@ def main(argv=None):
     exp_dir = Path(cfg.base_dir) / cfg.project_name / f"{timestamp}-{cfg.experiment_name}-{cfg.get('log_task_name','task')}"
     exp_dir.mkdir(parents=True, exist_ok=True)
     (exp_dir / "config.yaml").write_text(yaml.safe_dump(json.loads(json.dumps(cfg))))
+    # per-run logfile capture (reference utils/logging.py:7-32 bridges loguru
+    # into hydra's run-dir logs; here: tee stdout/stderr into train.log)
+    sys.stdout = _Tee(sys.stdout, exp_dir / "train.log")
+    sys.stderr = _Tee(sys.stderr, exp_dir / "train.log")
     print(f"[train] experiment dir: {exp_dir}")
     print(f"[train] devices: {jax.devices()}")
 
@@ -120,7 +145,7 @@ def main(argv=None):
 
         mesh = make_mesh()
         assert int(cfg.num_envs) % jax.device_count() == 0, \
-            "num_envs must divide the device count"
+            "device count must divide num_envs"
         ts = shard_train_state(ts, mesh, int(cfg.num_envs))
         print(f"[train] sharded over {jax.device_count()} devices (env-axis DP)")
 
@@ -193,12 +218,20 @@ def load_teacher(ckpt_path, teacher_cfg, env):
         payload = pickle.load(f)
     t_params = payload["params"] if "params" in payload else payload["actor_params"]
 
+    # the history encoder is sized from the STUDENT env's prop_history width
+    # but the TEACHER's history_length; a mismatch would mis-size the net far
+    # from the cause (or silently load garbage geometry)
+    s_hist = int(env.config.obs.history_length)
+    t_hist = int(teacher_cfg.obs.history_length)
+    assert t_hist == s_hist, (
+        f"teacher history_length={t_hist} != student history_length={s_hist}; "
+        "distillation requires matching prop_history windows")
     net = build_mimic_net(
         teacher_cfg.algo.config, env.nd,
         env.obs_dim("teacher_future_motion_targets"),
         int(teacher_cfg.obs.future_num_steps),
         env.obs_dim("prop_history"),
-        int(teacher_cfg.obs.history_length))
+        t_hist)
 
     def apply_fn(params, obs):
         tobs = {

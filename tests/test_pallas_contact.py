@@ -83,3 +83,64 @@ def test_lanes_kernel_matches_xla_apgd():
     ref = lanes._apgd(A, b, mu, active)
     out = solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_restitution_parity_across_solvers():
+    """All four contact paths (apgd / pgs / batched-pallas / lanes) must apply
+    the same restitution bias on a bouncing state (VERDICT r1: the batched
+    path silently dropped the term; default-restitution tests can't see it)."""
+    import dataclasses
+
+    from pbhc_tpu.model.g1 import load_g1_sim_model
+    from pbhc_tpu.sim.engine import Engine, EngineOptions
+    from pbhc_tpu.sim.engine_lanes import LanesEngine
+
+    model = load_g1_sim_model()
+    N = 128
+    rest = 0.5
+
+    def batched(e):
+        params = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape),
+                              e.default_params())
+        params = dataclasses.replace(
+            params, restitution=jnp.full((N,), rest, jnp.float32))
+        st = e.default_state(root_pos=(0.0, 0.0, 0.76))  # feet penetrating
+        st = dataclasses.replace(st, root_lin_vel=jnp.asarray([0.0, 0.0, -1.0]))
+        st = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape), st)
+        return params, st
+
+    e_apgd = Engine(model, EngineOptions(solver="apgd"))
+    params, st = batched(e_apgd)
+    tau = jnp.zeros((N, e_apgd.nd))
+    st_apgd, lam_apgd = jax.jit(jax.vmap(e_apgd.substep))(params, st, tau)
+
+    # PGS converges slower on hard bounces; give it more sweeps
+    e_pgs = Engine(model, EngineOptions(solver="pgs", solver_iters=128))
+    st_pgs, lam_pgs = jax.jit(jax.vmap(e_pgs.substep))(params, st, tau)
+
+    e_pal = Engine(model, EngineOptions(solver="pallas"))
+    st_pal, lam_pal = jax.jit(
+        lambda p, s, t: e_pal.substep_batched(p, s, t))(params, st, tau)
+
+    lanes = LanesEngine(e_apgd)
+    st_lanes = lanes.control_step_batched(
+        params, jax.vmap(e_apgd.derived_state)(params, st),
+        lambda s, k: tau, decimation=1)[0]
+
+    # restitution must produce an upward bounce (post-impulse +z root vel) in
+    # EVERY path; a dropped restitution term shifts the bounce by ~0.5 m/s
+    for name, other in [("apgd", st_apgd), ("pgs", st_pgs),
+                        ("pallas", st_pal), ("lanes", st_lanes)]:
+        assert float(jnp.mean(other.root_lin_vel[:, 2])) > 0.05, name
+    # apgd vs batched-pallas share the identical formulation: tight parity
+    np.testing.assert_allclose(
+        np.asarray(st_pal.root_lin_vel), np.asarray(st_apgd.root_lin_vel),
+        atol=5e-3, err_msg="pallas root_lin_vel")
+    np.testing.assert_allclose(np.asarray(lam_pal), np.asarray(lam_apgd), atol=5e-3)
+    # pgs (sequential sweeps) and lanes converge along different paths: the
+    # bounce magnitude must still agree to ~0.15 m/s (vs ~0.5 m/s if the
+    # restitution term were missing)
+    for name, other in [("pgs", st_pgs), ("lanes", st_lanes)]:
+        np.testing.assert_allclose(
+            np.asarray(other.root_lin_vel), np.asarray(st_apgd.root_lin_vel),
+            atol=0.2, err_msg=f"{name} root_lin_vel")

@@ -34,6 +34,7 @@ def main(num_envs=4096):
         com=jnp.moveaxis(jnp.moveaxis(params.com, 0, -1), 1, 0),
         inertia=jnp.moveaxis(jnp.moveaxis(jnp.moveaxis(params.inertia, 0, -1), 2, 0), 2, 1),
         friction=params.friction,
+        restitution=params.restitution,
         armature=params.armature.T,
         dof_damping=params.dof_damping.T,
         dof_frictionloss=params.dof_frictionloss.T,
