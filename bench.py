@@ -1,4 +1,10 @@
-"""Benchmark: motion-tracking env throughput on the available accelerator.
+"""Benchmark: FULL train-iteration throughput on the available accelerator.
+
+Measures the honest training number — a complete MHPPO iteration (24-step
+scanned rollout + minibatched update, the same jitted graph train.py runs) at
+4096 G1 23-DoF envs with full domain randomization, reported as env-steps/s
+(reference telemetry definition: fps = num_steps_per_env * num_envs /
+iteration_time, reference agents/ppo/ppo.py:492,581-588).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline anchor: typical published Isaac Gym legged-gym throughput on an
@@ -12,9 +18,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
-import jax.numpy as jnp
 
-# persistent compile cache: the full env-step scan is a big graph (fresh
+# persistent compile cache: the full train iteration is a big graph (fresh
 # remote compile can take >10 min); cached reruns start in seconds
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -22,8 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    steps = 30
+    iters = 20
 
+    from pbhc_tpu.agents.mh_ppo import MHPPO
     from pbhc_tpu.config.loader import compose
     from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
 
@@ -32,32 +38,25 @@ def main():
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
         [f"num_envs={num_envs}",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_punch.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_punch.pkl"],
     )
     env = MotionTrackingEnv(cfg, num_envs, jax.random.PRNGKey(0))
-    state = env.init_state(jax.random.PRNGKey(1))
-    actions = jnp.zeros((num_envs, env.nd))
+    algo = MHPPO(cfg, env)
+    ts = algo.init_train_state(jax.random.PRNGKey(1))
+    ts, _ = algo.train_iteration(ts)   # compile 1 (init avals)
+    ts, _ = algo.train_iteration(ts)   # compile 2 (steady avals)
+    jax.block_until_ready(jax.tree.leaves(ts)[0])
 
-    # measure the shape training uses: a scanned rollout inside one jit
-    @jax.jit
-    def rollout(state):
-        def body(st, _):
-            st, obs, rew, done, info = env.step(st, actions)
-            return st, rew.sum()
-        state, rews = jax.lax.scan(body, state, None, length=steps)
-        return state, rews.sum()
-
-    state, _ = rollout(state)
-    jax.block_until_ready(state)
     t0 = time.time()
-    state, acc = rollout(state)
-    jax.block_until_ready(acc)
+    for _ in range(iters):
+        ts, log = algo.train_iteration(ts)
+    jax.block_until_ready(jax.tree.leaves(ts)[0])
     dt = time.time() - t0
-    eps = steps * num_envs / dt
+    eps = algo.num_steps * num_envs * iters / dt
 
     baseline = 50_000.0  # published legged-gym-class Isaac Gym numbers @4096 envs
     print(json.dumps({
-        "metric": "env_steps_per_sec",
+        "metric": "train_env_steps_per_sec",
         "value": round(eps, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(eps / baseline, 3),

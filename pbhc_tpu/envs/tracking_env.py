@@ -100,7 +100,10 @@ class MotionTrackingEnv:
         rcfg = config.robot
 
         robot_type = rcfg.robot_type
-        self.sim_model = sim_model or load_g1_sim_model(robot_type)
+        # reference g1_23dof_lock_wrist.yaml:173 enables G1 self-collision
+        self_coll = bool(rcfg.get("self_collision", True))
+        self.sim_model = sim_model or load_g1_sim_model(robot_type,
+                                                        self_collision=self_coll)
         extend_cfg = [dict(e) for e in rcfg.motion.extend_config]
         self.motion_model = motion_model or load_g1_motion_model(robot_type, extend_cfg)
 
@@ -112,7 +115,10 @@ class MotionTrackingEnv:
             self.sim_model,
             EngineOptions(dt=self.sim_dt, solver=sim_cfg.get("solver", "apgd"),
                           solver_iters=int(sim_cfg.get("solver_iters", 32)),
-                          lanes_contact_kernel=str(sim_cfg.get("lanes_contact_kernel", "auto"))),
+                          lanes_contact_kernel=str(sim_cfg.get("lanes_contact_kernel", "auto")),
+                          self_collision=self_coll,
+                          contact_cap=int(sim_cfg.get("contact_cap", 0)),
+                          warm_start=bool(sim_cfg.get("warm_start", True))),
         )
         if self.engine.opt.solver == "lanes":
             from pbhc_tpu.sim.engine_lanes import LanesEngine

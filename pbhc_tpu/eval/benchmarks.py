@@ -18,11 +18,11 @@ import json
 import sys
 import time
 
-WALK = "/root/reference/motion_data/g1_walk_45cms_23dof.pkl"
-PUNCH = "/root/reference/example/motion_data/Horse-stance_punch.pkl"
-POSE = "/root/reference/example/motion_data/Horse-stance_pose.pkl"
-KICK = "/root/reference/example/motion_data/Side_kick.pkl"
-WALK29 = "/root/reference/motion_data/g1_rig_Skeleton_Sequence_converted_processed_g1_29dof_rev_1_0.pkl"
+WALK = "/root/repo/assets/motions/g1_walk_45cms_23dof.pkl"
+PUNCH = "/root/repo/assets/motions/Horse-stance_punch.pkl"
+POSE = "/root/repo/assets/motions/Horse-stance_pose.pkl"
+KICK = "/root/repo/assets/motions/Side_kick.pkl"
+WALK29 = "/root/repo/assets/motions/g1_rig_Skeleton_Sequence_converted_processed_g1_29dof_rev_1_0.pkl"
 
 
 def _env_throughput(selections, overrides, num_envs, steps=30):

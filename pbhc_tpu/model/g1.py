@@ -26,7 +26,52 @@ G1_BODY_SPHERES = [
     ("right_shoulder_roll_link", (0.0, 0.0, -0.05), 0.05),
     ("left_elbow_link", (0.12, 0.0, 0.0), 0.05),
     ("right_elbow_link", (0.12, 0.0, 0.0), 0.05),
+    # hand/head spheres: ground contact for crawl-class motions AND the
+    # self-collision pair list below (the 23-DoF lock-wrist model has no hand
+    # bodies; the hand sits ~0.25 m along the forearm, cf. DEFAULT_EXTEND_CONFIG)
+    ("left_elbow_link", (0.25, 0.0, 0.0), 0.05),    # left hand
+    ("right_elbow_link", (0.25, 0.0, 0.0), 0.05),   # right hand
+    ("torso_link", (0.0, 0.0, 0.42), 0.09),         # head
 ]
+
+# Sphere-sphere self-collision pairs, by (body_name, sphere-offset-x) so the
+# list survives sphere reordering. Covers the contacts that matter for
+# punch/kick/crossing-arm motions: hands & elbows vs torso/pelvis/head, hands
+# vs same-side thigh+knee, hand-hand, knee-knee, thigh-thigh.
+# (reference g1_23dof_lock_wrist.yaml:173 enables full PhysX self-collision;
+# a curated pair list is the fixed-shape TPU equivalent.)
+G1_SELF_COLLISION_PAIRS = [
+    (("left_elbow_link", 0.25), ("torso_link", (0.0, 0.15))),
+    (("right_elbow_link", 0.25), ("torso_link", (0.0, 0.15))),
+    (("left_elbow_link", 0.25), ("pelvis", (0.0, -0.076))),
+    (("right_elbow_link", 0.25), ("pelvis", (0.0, -0.076))),
+    (("left_elbow_link", 0.25), ("torso_link", (0.0, 0.42))),      # hand-head
+    (("right_elbow_link", 0.25), ("torso_link", (0.0, 0.42))),
+    (("left_elbow_link", 0.12), ("torso_link", (0.0, 0.15))),       # elbow-torso
+    (("right_elbow_link", 0.12), ("torso_link", (0.0, 0.15))),
+    (("left_elbow_link", 0.12), ("pelvis", (0.0, -0.076))),
+    (("right_elbow_link", 0.12), ("pelvis", (0.0, -0.076))),
+    (("left_elbow_link", 0.25), ("left_hip_pitch_link", 0.003)),
+    (("right_elbow_link", 0.25), ("right_hip_pitch_link", 0.003)),
+    (("left_elbow_link", 0.25), ("left_knee_link", 0.005)),
+    (("right_elbow_link", 0.25), ("right_knee_link", 0.005)),
+    (("left_elbow_link", 0.25), ("right_elbow_link", 0.25)),  # hand-hand
+    (("left_knee_link", 0.005), ("right_knee_link", 0.005)),
+    (("left_hip_pitch_link", 0.003), ("right_hip_pitch_link", 0.003)),
+]
+
+
+def _sphere_index(model, body_name, off):
+    """Index of a contact sphere by body name + offset signature.
+
+    `off` is the x offset, or an (x, z) tuple when x alone is ambiguous
+    (torso chest vs head spheres share x=0)."""
+    off_x, off_z = (off if isinstance(off, tuple) else (off, None))
+    for k, (b, p) in enumerate(zip(model.contact_body, model.contact_pos)):
+        if (model.body_names[b] == body_name and abs(p[0] - off_x) < 1e-6
+                and (off_z is None or abs(p[2] - off_z) < 1e-6)):
+            return k
+    raise KeyError(f"no contact sphere ({body_name}, {off})")
 
 DEFAULT_EXTEND_CONFIG = [
     {"joint_name": "left_hand_link", "parent_name": "left_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0.0, 0.0, 0.0]},
@@ -36,17 +81,18 @@ DEFAULT_EXTEND_CONFIG = [
 
 
 def g1_asset_root() -> Path:
-    for cand in [
-        Path(__file__).resolve().parents[2] / "assets" / "robots" / "g1",
-        Path("/root/reference/description/robots/g1"),
-    ]:
-        if cand.exists():
-            return cand
-    raise FileNotFoundError("G1 robot description not found")
+    root = Path(__file__).resolve().parents[2] / "assets" / "robots" / "g1"
+    if not root.exists():
+        raise FileNotFoundError(f"G1 robot description not found at {root}")
+    return root
 
 
-def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True) -> RobotModel:
-    """Dynamics model: deploy inertials + fitmotion foot spheres (+ body spheres)."""
+def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True,
+                      self_collision=True) -> RobotModel:
+    """Dynamics model: deploy inertials + fitmotion foot spheres (+ body spheres
+    + self-collision sphere pairs)."""
+    import numpy as _np
+
     root = g1_asset_root()
     model = load_mjcf(root / f"{robot_type}.xml")
     fit = root / f"{robot_type}_fitmotionONLY.xml"
@@ -60,6 +106,17 @@ def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True
     if body_spheres:
         spheres = [s for s in G1_BODY_SPHERES if s[0] in model.body_names]
         model = model.add_collision_spheres(spheres)
+        if self_collision:
+            import dataclasses as _dc2
+
+            pairs = []
+            for a, b in G1_SELF_COLLISION_PAIRS:
+                try:
+                    pairs.append((_sphere_index(model, *a), _sphere_index(model, *b)))
+                except KeyError:
+                    pass  # variant without that body/sphere
+            model = _dc2.replace(
+                model, contact_pairs=_np.asarray(pairs, dtype=_np.int64).reshape(-1, 2))
     # the official g1_29dof_rev_1_0.xml carries NO <default> joint
     # armature/damping (the lock-wrist sim file sets 0.01/0.001); with zero
     # armature the ~1e-5 kgm^2 wrist links are numerically unstable at 200 Hz

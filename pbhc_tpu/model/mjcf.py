@@ -49,6 +49,12 @@ class RobotModel:
     contact_body: np.ndarray      # [K] int body index
     contact_pos: np.ndarray       # [K,3] offset in body frame
     contact_radius: np.ndarray    # [K]
+    # sphere-sphere self-collision pairs: indices into the contact-sphere list
+    # (reference enables PhysX self-collision for the G1,
+    # reference humanoidverse/config/robot/g1/g1_23dof_lock_wrist.yaml:173 +
+    # simulator/isaacgym/isaacgym.py:272; here: an explicit curated pair list)
+    contact_pairs: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), dtype=np.int64))  # [P,2]
     # extended (virtual) bodies appended after the real ones
     num_real_bodies: int = 0
     levels: list = dataclasses.field(default_factory=list)  # bodies by tree depth

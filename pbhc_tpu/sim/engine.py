@@ -116,6 +116,19 @@ class EngineOptions:
     max_root_ang_vel: float = 50.0
     contact_reg: float = 1e-3     # CFM-style relative regularization of the Delassus diag
     joint_limits: bool = True     # hard-clamp hinge ranges
+    self_collision: bool = True   # solve the model's sphere-sphere pair list
+    pos_iters: int = 8            # split-impulse position-pass iterations
+    energy_projection: bool = True  # clamp spurious explicit-Coriolis KE growth
+    # Active-set pruning: solve only the `contact_cap` closest/deepest contact
+    # rows (by gap phi) instead of all K+P. 0 = no pruning. Delassus/APGD cost
+    # scales with cap^2 — most spheres are airborne and most pairs separated,
+    # so a small cap is lossless in practice (unselected rows get no impulse
+    # for one 5 ms substep; Baumgarte recovers next step).
+    contact_cap: int = 0
+    # Warm-starting the APGD solve from the previous substep's impulses cuts
+    # the iterations needed for convergence ~2-4x (impulses are temporally
+    # coherent at 200 Hz); control_step threads the carry automatically.
+    warm_start: bool = True
     # lanes-engine contact solve. Default is the XLA scan: measured IN-SITU at
     # 4096 envs it beats the Pallas VMEM-resident kernel (19.8 vs 37.7
     # ms/ctrl-step) — the pallas_call boundary blocks XLA from fusing the
@@ -156,6 +169,21 @@ class Engine:
         self.contact_pos = jnp.asarray(model.contact_pos, dtype=jnp.float32)
         self.contact_radius = jnp.asarray(model.contact_radius, dtype=jnp.float32)
         self.K = len(model.contact_body)
+
+        # sphere-sphere self-collision pairs (indices into the sphere list).
+        # Pair rows live in a per-pair contact frame (t1,t2,n) and are appended
+        # after the K ground rows; KT is the total solver row-triple count.
+        pairs = np.asarray(getattr(model, "contact_pairs",
+                                   np.zeros((0, 2), np.int64)), dtype=np.int64)
+        if not options.self_collision:
+            pairs = pairs[:0]
+        self.pair_i = jnp.asarray(pairs[:, 0]) if len(pairs) else jnp.zeros((0,), jnp.int32)
+        self.pair_j = jnp.asarray(pairs[:, 1]) if len(pairs) else jnp.zeros((0,), jnp.int32)
+        self.P = len(pairs)
+        self.KT = self.K + self.P
+        if len(pairs):
+            self.pair_rsum = (self.contact_radius[self.pair_i]
+                              + self.contact_radius[self.pair_j])      # [P]
 
         # subtree mask for composite inertias: sub[b, c] = body c in subtree of b
         sub = np.zeros((nb, nb), dtype=np.float32)
@@ -348,6 +376,18 @@ class Engine:
         bias_root = Phi_root.T @ f_sub[0]
         return jnp.concatenate([bias_root, bias_d])                    # [nv]
 
+    def gravity_forces(self, I_o, Phi_d, Phi_root):
+        """Generalized gravity force G [nv] (the configuration-dependent part
+        of `bias_forces` whose power u'G is real work; the remaining
+        Coriolis part is analytically work-free and used by the
+        energy-consistent projection in _pre_contact)."""
+        g_acc = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, GRAVITY])
+        f = jnp.einsum("bij,j->bi", I_o, g_acc)
+        f_sub = jnp.einsum("bc,ci->bi", self.subtree, f)
+        G_d = jnp.einsum("di,di->d", Phi_d, f_sub[self.dof_body_arr])
+        G_root = Phi_root.T @ f_sub[0]
+        return jnp.concatenate([G_root, G_d])
+
     # ------------------------------------------------------------------ terrain
     def set_terrain(self, height_field, horizontal_scale):
         """Install a heightfield ground (meters, [H,W]); default is a flat plane.
@@ -401,32 +441,87 @@ class Engine:
         J = jnp.concatenate([Jr, Jd], axis=1)                          # [K,nv,3]
         return jnp.swapaxes(J, 1, 2), x                                # [K,3,nv]
 
-    def _solve_contacts(self, params, M_inv, J, phi, u_plus):
-        """Contact impulse solve. Returns (u_new, impulses [K,3]).
+    def _pair_rows(self, J, x):
+        """Self-collision rows from the sphere point Jacobians (single env).
+
+        J [K,3,nv] world-frame point Jacobians, x [K,3] sphere centers ->
+        (J_pair [P,3,nv] contact-frame rows (t1,t2,n), phi_p [P], C [P,3,3]).
+        The normal n points from sphere j to sphere i, so a nonnegative normal
+        impulse separates the pair; rows share the ground rows' (t1,t2,n)
+        layout and reuse the same cone projection.
+        """
+        d = x[self.pair_i] - x[self.pair_j]                            # [P,3]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        n = d / jnp.maximum(dist, 1e-9)[:, None]
+        phi_p = dist - self.pair_rsum
+        # robust tangent basis: reference axis least aligned with n
+        use_z = (jnp.abs(n[:, 2]) < 0.9)[:, None]
+        ref = jnp.where(use_z, jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))
+        t1 = jnp.cross(ref, n)
+        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+        t2 = jnp.cross(n, t1)
+        C = jnp.stack([t1, t2, n], axis=1)                             # [P,3,3]
+        Jrel = J[self.pair_i] - J[self.pair_j]                         # [P,3,nv]
+        J_pair = jnp.einsum("pab,pbv->pav", C, Jrel)
+        return J_pair, phi_p, C
+
+    def _solve_contacts(self, params, M_inv, J, phi, u_plus, C=None, lam_warm=None):
+        """Contact impulse solve. Returns (u_new, impulses [KT,3] WORLD frame).
 
         Default solver is APGD (accelerated projected gradient on the contact
         QP, Mazhar/Heyn/Negrut-style): every iteration is one dense matvec, so
         the whole solve is a handful of fused batched ops on TPU. "pgs" keeps
         a sequential projected Gauss-Seidel for reference-grade validation.
+
+        J carries K ground rows (world frame, z normal) + P pair rows
+        (contact frame, basis C [P,3,3]); `lam_warm` (world frame, optional)
+        warm-starts the iteration; `opt.contact_cap` > 0 restricts the solve
+        to the cap closest rows by gap.
         """
         opt = self.opt
-        K = self.K
+        KT = J.shape[0]
+        # warm-start impulses: world -> contact frame for the pair rows
+        if lam_warm is None:
+            lam_cf = jnp.zeros((KT, 3))
+        elif self.P:
+            lam_cf = jnp.concatenate(
+                [lam_warm[: self.K],
+                 jnp.einsum("pab,pb->pa", C, lam_warm[self.K:])], axis=0)
+        else:
+            lam_cf = lam_warm
+
+        # active-set pruning: gather the cap deepest/closest rows
+        cap = opt.contact_cap
+        idx = None
+        if 0 < cap < KT:
+            _, idx = jax.lax.top_k(-phi, cap)                          # [cap]
+            J = J[idx]
+            phi = phi[idx]
+            lam_cf = lam_cf[idx]
+            KT = cap
+
+        K = KT  # row count for this solve (shadows the sphere count)
         Jf = J.reshape(K * 3, self.nv)
         # barrier: without it XLA operand-fuses the whole J/M_inv producer
         # chains INTO the Delassus matmul tiles, recomputing them per tile
         # (measured 6x slowdown / 26 GB extra traffic at 4096 envs)
         Jf, M_inv = jax.lax.optimization_barrier((Jf, M_inv))
         A = Jf @ M_inv @ Jf.T                                          # [3K,3K]
+        # CFM-style diagonal regularization: bounds impulses on stiff
+        # near-singular contact clusters (e.g. colinear spheres on one link
+        # with small effective mass — hand+elbow spheres on the forearm)
+        A = A + jnp.diag(opt.contact_reg * jnp.diag(A) + 1e-8)
         A = jax.lax.optimization_barrier(A)
         active = (phi < opt.contact_margin).astype(jnp.float32)        # [K]
 
-        # target normal velocity: capped Baumgarte push-out of penetration
-        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
-        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
         v0 = (Jf @ u_plus).reshape(K, 3)
-        # residual velocity target 0; restitution biases the normal row so the
-        # post-impulse normal velocity is -e * (approaching pre-impulse vel)
-        b = v0.at[:, 2].add(-b_err + params.restitution * jnp.minimum(v0[:, 2], 0.0))
+        # PURE velocity solve: residual velocity target 0 (+ restitution bias:
+        # post-impulse normal velocity -e * approaching pre-impulse velocity).
+        # Penetration (Baumgarte) is handled by the split-impulse POSITION
+        # pass below — velocity-level push-out pumps energy into ragdoll
+        # heaps (each deep contact gains up to max_depenetration_velocity of
+        # real kinetic energy per substep) and was the round-1 instability.
+        b = v0.at[:, 2].add(params.restitution * jnp.minimum(v0[:, 2], 0.0))
 
         mu = params.friction
 
@@ -439,9 +534,12 @@ class Engine:
 
         if opt.solver in ("apgd", "pallas"):  # per-env fallback for the pallas solver
             bf = b.reshape(-1)
-            # Lipschitz bound: inf-norm row sum of A (cheap, safe)
-            L = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=-1)), 1e-6)
-            inv_L = 1.0 / L
+            # Lipschitz bound over ACTIVE rows only: inactive rows are zeroed
+            # by the projection, and including them inflates L (smaller steps,
+            # much slower convergence when many airborne/separated rows exist)
+            act3 = jnp.repeat(active, 3)
+            L = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[None, :], axis=-1))
+            inv_L = 1.0 / jnp.maximum(L, 1e-6)
 
             def body(carry, _):
                 x, x_prev, theta = carry
@@ -453,8 +551,22 @@ class Engine:
                 x_new = project((y.reshape(-1) - inv_L * g).reshape(K, 3))
                 return (x_new, x, theta_new), None
 
-            init = (jnp.zeros((K, 3)), jnp.zeros((K, 3)), jnp.asarray(1.0))
+            x0 = project(lam_cf)
+            init = (x0, x0, jnp.asarray(1.0))
             (lam, _, _), _ = jax.lax.scan(body, init, None, length=opt.solver_iters)
+            # Energy safeguard: with b = v0, the QP objective f(lam) =
+            # 0.5 lam'A lam + lam'b IS the post-impulse kinetic-energy change,
+            # and truncated APGD (non-monotone) can end on f > 0 — injecting
+            # energy. Cones are scale-invariant, so rescale lam by the
+            # f-minimizing t* = -b'lam / lam'A lam clipped to [0,1]: f(t*lam)
+            # <= 0 always, i.e. the velocity solve can only remove energy
+            # (restitution excepted, which is bounded by e * |v_n^-|).
+            lf = lam.reshape(-1)
+            q = A @ lf
+            lAl = jnp.sum(lf * q)
+            t = jnp.clip(-jnp.sum(bf * lf) / jnp.maximum(lAl, 1e-12), 0.0, 1.0)
+            t = jnp.where(lAl > 1e-12, t, 1.0)
+            lam = lam * t
         else:
             A_blocks = A.reshape(K, 3, K, 3)
             D = A_blocks[jnp.arange(K), :, jnp.arange(K), :]           # [K,3,3]
@@ -476,10 +588,39 @@ class Engine:
                     lam = lam.at[k].set(lam_k)
                 return lam
 
-            lam = jax.lax.fori_loop(0, opt.solver_iters, sweep, jnp.zeros((K, 3)))
+            lam = jax.lax.fori_loop(0, opt.solver_iters, sweep, project(lam_cf))
 
         u_new = u_plus + M_inv @ (Jf.T @ lam.reshape(-1))
-        return u_new, lam
+
+        # Split-impulse position stabilization (Baumgarte moved out of the
+        # velocity solve): normal-only projected gradient on the same Delassus
+        # operator, applied to POSITIONS only — depenetrates without adding
+        # kinetic energy (PhysX/Box2D split-impulse idiom).
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)     # [K]
+        act3 = jnp.repeat(active, 3)
+        Lp = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[None, :], axis=-1))
+        inv_Lp = 1.0 / jnp.maximum(Lp, 1e-6)
+        cp = (jnp.zeros((K, 3)).at[:, 2].set(b_err * active)).reshape(-1)
+
+        def pos_body(x, _):
+            g = A @ x - cp
+            x = (x - inv_Lp * g).reshape(K, 3)
+            x = (jnp.zeros_like(x).at[:, 2].set(jnp.maximum(x[:, 2], 0.0) * active)).reshape(-1)
+            return x, None
+
+        lam_p, _ = jax.lax.scan(pos_body, jnp.zeros(K * 3), None, length=opt.pos_iters)
+        dpos = opt.dt * (M_inv @ (Jf.T @ lam_p))
+
+        # scatter pruned rows back to the full row set (zeros elsewhere)
+        if idx is not None:
+            lam = jnp.zeros((self.KT, 3)).at[idx].set(lam)
+        # pair rows: contact frame -> world so impulses accumulate consistently
+        if self.P:
+            lam = jnp.concatenate(
+                [lam[: self.K],
+                 jnp.einsum("pab,pa->pb", C, lam[self.K:])], axis=0)
+        return u_new, lam, dpos
 
     # ----------------------------------------------------------------- stepping
     def _pre_contact(self, params: SimParams, state: SimState, tau: jax.Array):
@@ -499,9 +640,31 @@ class Engine:
 
         u = jnp.concatenate([state.root_lin_vel, state.root_ang_vel, state.dof_vel])
         u_plus = u + opt.dt * (M_inv @ (tau_full - bias))
+
+        # Energy-consistent projection of the explicit Coriolis integration:
+        # semi-implicit Euler adds a spurious 0.5 dt^2 rhs' M^-1 rhs of kinetic
+        # energy per substep, which COMPOUNDS during fast tumbling (measured
+        # 36x KE growth per second free-tumbling at 5 rad/s — the round-1
+        # ragdoll catapult). Coriolis forces do no work analytically, so clamp
+        # KE(u_plus) to KE(u) + dt * midpoint power of (actuation+gravity).
+        if opt.energy_projection:
+            G = self.gravity_forces(I_o, Phi_d, Phi_root)
+            ke0 = 0.5 * u @ (M @ u)
+            ke_plus = 0.5 * u_plus @ (M @ u_plus)
+            p_ext = 0.5 * (u + u_plus) @ (tau_full - G)
+            target = jnp.maximum(ke0 + opt.dt * p_ext, 0.0)
+            s = jnp.sqrt(target / jnp.maximum(ke_plus, 1e-12))
+            u_plus = u_plus * jnp.minimum(s, 1.0)
+
         J, x = self._contact_jacobian(p_w, R_w, Phi_d, Phi_root)
         phi = x[:, 2] - self.contact_radius - self.ground_height(x[:, :2])
-        return u_plus, M_inv, J, phi
+        if self.P:
+            J_pair, phi_p, C = self._pair_rows(J, x)
+            J = jnp.concatenate([J, J_pair], axis=0)                   # [KT,3,nv]
+            phi = jnp.concatenate([phi, phi_p], axis=0)                # [KT]
+        else:
+            C = jnp.zeros((0, 3, 3))
+        return u_plus, M_inv, J, phi, C
 
     def substep_batched(self, params: SimParams, states: SimState, taus: jax.Array):
         """Batched physics step using the Pallas env-in-lanes contact kernel.
@@ -513,36 +676,83 @@ class Engine:
         from pbhc_tpu.sim.pallas_contact import solve_contacts_pallas
 
         opt = self.opt
-        K, nv = self.K, self.nv
-        u_plus, M_inv, J, phi = jax.vmap(self._pre_contact)(params, states, taus)
-        Jf = J.reshape(-1, K * 3, nv)
+        nv = self.nv
+        u_plus, M_inv, J, phi, C = jax.vmap(self._pre_contact)(params, states, taus)
+        # J [N,KT,3,nv], phi [N,KT]; active-set pruning mirrors _solve_contacts
+        # (the pallas kernel has no warm-start input — zero-init, same as a
+        # single cold substep of the per-env path)
+        cap, KT = opt.contact_cap, self.KT
+        idx = None
+        if 0 < cap < KT:
+            _, idx = jax.lax.top_k(-phi, cap)                         # [N,cap]
+            J = jnp.take_along_axis(J, idx[:, :, None, None], axis=1)
+            phi = jnp.take_along_axis(phi, idx, axis=1)
+        R = J.shape[1]                                                # solver rows
+        Jf = J.reshape(-1, R * 3, nv)
         Jf, M_inv = jax.lax.optimization_barrier((Jf, M_inv))
         A = Jf @ M_inv @ jnp.swapaxes(Jf, -1, -2)
         A = jax.lax.optimization_barrier(A)
         active = (phi < opt.contact_margin).astype(jnp.float32)
-        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
-        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
-        v0 = jnp.einsum("nij,nj->ni", Jf, u_plus).reshape(-1, K, 3)
-        # restitution bias matches the per-env path (_solve_contacts above)
+        v0 = jnp.einsum("nij,nj->ni", Jf, u_plus).reshape(-1, R, 3)
+        # pure velocity solve + split-impulse position pass, matching the
+        # per-env path (_solve_contacts above)
         rest = params.restitution
         rest = rest[:, None] if rest.ndim == 1 else rest
-        b = v0.at[:, :, 2].add(
-            -b_err + rest * jnp.minimum(v0[:, :, 2], 0.0)).reshape(-1, K * 3)
+        b = v0.at[:, :, 2].add(rest * jnp.minimum(v0[:, :, 2], 0.0)).reshape(-1, R * 3)
 
         lam = solve_contacts_pallas(A, b, params.friction, active, iters=opt.solver_iters)
-        imp = jnp.einsum("nji,nj->ni", Jf, lam.reshape(-1, K * 3))
+        lamf = lam.reshape(-1, R * 3)
+        # energy safeguard (see _solve_contacts): rescale so f(t*lam) <= 0
+        qv = jnp.einsum("nij,nj->ni", A, lamf)
+        lAl = jnp.sum(lamf * qv, axis=-1)
+        t = jnp.clip(-jnp.sum(b * lamf, axis=-1) / jnp.maximum(lAl, 1e-12), 0.0, 1.0)
+        t = jnp.where(lAl > 1e-12, t, 1.0)
+        lam = lam * t[:, None, None]
+        lamf = lamf * t[:, None]
+
+        imp = jnp.einsum("nji,nj->ni", Jf, lamf)
         u_new = u_plus + jnp.einsum("nij,nj->ni", M_inv, imp)
-        states = jax.vmap(self._integrate)(states, u_new)
+
+        # split-impulse position pass (normal-only projected gradient)
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)     # [N,R]
+        act3 = jnp.repeat(active, 3, axis=-1)                          # [N,R3]
+        Lp = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[:, None, :], axis=-1), axis=-1)
+        inv_Lp = (1.0 / jnp.maximum(Lp, 1e-6))[:, None]
+        cp = jnp.zeros_like(v0).at[:, :, 2].set(b_err * active).reshape(-1, R * 3)
+
+        def pos_body(x, _):
+            g = jnp.einsum("nij,nj->ni", A, x) - cp
+            x3 = (x - inv_Lp * g).reshape(-1, R, 3)
+            x = (jnp.zeros_like(x3).at[:, :, 2]
+                 .set(jnp.maximum(x3[:, :, 2], 0.0) * active)).reshape(-1, R * 3)
+            return x, None
+
+        lam_p, _ = jax.lax.scan(pos_body, jnp.zeros_like(cp), None, length=opt.pos_iters)
+        dpos = opt.dt * jnp.einsum(
+            "nij,nj->ni", M_inv, jnp.einsum("nji,nj->ni", Jf, lam_p))
+        states = jax.vmap(self._integrate)(states, u_new, dpos)
+        N = lam.shape[0]
+        if idx is not None:
+            lam = jnp.zeros((N, KT, 3)).at[jnp.arange(N)[:, None], idx].set(lam)
+        if self.P:
+            lam = jnp.concatenate(
+                [lam[:, : self.K],
+                 jnp.einsum("npab,npa->npb", C, lam[:, self.K:])], axis=1)
         return states, lam
 
-    def _integrate(self, state: SimState, u_new: jax.Array):
-        """Semi-implicit Euler + velocity caps + hard joint limits (single env)."""
+    def _integrate(self, state: SimState, u_new: jax.Array, dpos=None):
+        """Semi-implicit Euler + velocity caps + hard joint limits (single env).
+
+        `dpos` [nv] is the split-impulse position correction (generalized
+        displacement applied to positions only, velocities untouched)."""
         opt = self.opt
         v_r, w_r, qd = u_new[:3], u_new[3:6], u_new[6:]
         v_r = jnp.clip(v_r, -opt.max_root_lin_vel, opt.max_root_lin_vel)
         w_r = jnp.clip(w_r, -opt.max_root_ang_vel, opt.max_root_ang_vel)
         qd = jnp.clip(qd, -opt.max_dof_vel, opt.max_dof_vel)
-        dof_pos = state.dof_pos + qd * opt.dt
+        dp = jnp.zeros(self.nv) if dpos is None else dpos
+        dof_pos = state.dof_pos + qd * opt.dt + dp[6:]
         if opt.joint_limits:
             # hard joint limits: clamp + kill outward velocity
             lo, hi = self.dof_limits[:, 0], self.dof_limits[:, 1]
@@ -551,32 +761,44 @@ class Engine:
             qd = jnp.where(below & (qd < 0), 0.0, qd)
             qd = jnp.where(above & (qd > 0), 0.0, qd)
 
+        quat = rot.quat_integrate(state.root_quat, w_r, opt.dt)
+        if dpos is not None:
+            quat = rot.quat_integrate(quat, dp[3:6], 1.0)
         return dataclasses.replace(
             state,
-            root_pos=state.root_pos + v_r * opt.dt,
-            root_quat=rot.quat_integrate(state.root_quat, w_r, opt.dt),
+            root_pos=state.root_pos + v_r * opt.dt + dp[:3],
+            root_quat=quat,
             root_lin_vel=v_r,
             root_ang_vel=w_r,
             dof_pos=dof_pos,
             dof_vel=qd,
         )
 
-    def substep(self, params: SimParams, state: SimState, tau: jax.Array):
+    def substep(self, params: SimParams, state: SimState, tau: jax.Array,
+                lam_warm=None):
         """One physics step (single env): dynamics solve + contact + integrate.
 
-        Returns (state, contact_impulses [K,3]).
+        Returns (state, contact_impulses [KT,3] world frame: K ground rows
+        then P self-collision pair rows, force on sphere pair_i).
         """
-        u_plus, M_inv, J, phi = self._pre_contact(params, state, tau)
-        if self.K > 0:
-            u_new, lam = self._solve_contacts(params, M_inv, J, phi, u_plus)
+        u_plus, M_inv, J, phi, C = self._pre_contact(params, state, tau)
+        if self.KT > 0:
+            if not self.opt.warm_start:
+                lam_warm = None
+            u_new, lam, dpos = self._solve_contacts(
+                params, M_inv, J, phi, u_plus, C, lam_warm)
         else:
-            u_new, lam = u_plus, jnp.zeros((0, 3))
-        return self._integrate(state, u_new), lam
+            u_new, lam, dpos = u_plus, jnp.zeros((0, 3)), None
+        return self._integrate(state, u_new, dpos), lam
 
     def contact_forces_from_impulses(self, lam):
-        """Scatter per-point impulses to per-body forces [B,3] (world, N)."""
+        """Scatter per-row impulses [KT,3] to per-body forces [B,3] (world)."""
         f = lam / self.opt.dt
-        return jnp.zeros((self.nb, 3)).at[self.contact_body].add(f)
+        cf = jnp.zeros((self.nb, 3)).at[self.contact_body].add(f[: self.K])
+        if self.P:
+            cf = cf.at[self.contact_body[self.pair_i]].add(f[self.K:])
+            cf = cf.at[self.contact_body[self.pair_j]].add(-f[self.K:])
+        return cf
 
     def control_step(self, params: SimParams, state: SimState, torque_fn, decimation: int, keys=None,
                      pre_substep_fn=None):
@@ -595,16 +817,17 @@ class Engine:
         if keys is None:
             keys = jnp.zeros((decimation, 2), dtype=jnp.uint32)
 
-        def body(st, key):
+        def body(carry, key):
+            st, lam_prev = carry
             if pre_substep_fn is not None:
                 st = pre_substep_fn(st)
             tau = torque_fn(st, key)
-            st, lam = self.substep(params, st, tau)
-            return st, (lam, tau)
+            st, lam = self.substep(params, st, tau, lam_warm=lam_prev)
+            return (st, lam), (lam, tau)
 
-        state, (lams, taus) = jax.lax.scan(body, state, keys)
-        lam_acc = lams.sum(axis=0)
-        cf = jnp.zeros((self.nb, 3)).at[self.contact_body].add(lam_acc / (self.opt.dt * decimation))
+        (state, _), (lams, taus) = jax.lax.scan(
+            body, (state, jnp.zeros((self.KT, 3))), keys)
+        cf = self.contact_forces_from_impulses(lams.sum(axis=0) / decimation)
         return self.derived_state(params, state, contact_forces=cf), taus[-1]
 
     def control_step_batched(self, params: SimParams, states: SimState, torque_fn,
@@ -624,10 +847,13 @@ class Engine:
             return st, (lam, tau)
 
         states, (lams, taus) = jax.lax.scan(body, states, keys)
-        lam_acc = lams.sum(axis=0)                                    # [N,K,3]
+        lam_acc = lams.sum(axis=0)                                    # [N,KT,3]
         N = lam_acc.shape[0]
-        cf = jnp.zeros((N, self.nb, 3)).at[:, self.contact_body].add(
-            lam_acc / (self.opt.dt * decimation))
+        f = lam_acc / (self.opt.dt * decimation)
+        cf = jnp.zeros((N, self.nb, 3)).at[:, self.contact_body].add(f[:, : self.K])
+        if self.P:
+            cf = cf.at[:, self.contact_body[self.pair_i]].add(f[:, self.K:])
+            cf = cf.at[:, self.contact_body[self.pair_j]].add(-f[:, self.K:])
         states = jax.vmap(self.derived_state)(params, states)
         states = dataclasses.replace(states, contact_forces=cf)
         return states, taus[-1]

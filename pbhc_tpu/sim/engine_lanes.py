@@ -149,6 +149,32 @@ class LanesEngine:
         self._contact_pos = jnp.asarray(np.asarray(engine.contact_pos).T)  # [3,K]
         self._contact_radius = engine.contact_radius[:, None]  # [K,1]
         self._dof_limits = engine.dof_limits                   # [nd,2]
+        # self-collision pair rows (see Engine.__init__ / Engine._pair_rows)
+        self.P, self.KT = engine.P, engine.KT
+        self._pair_i = np.asarray(engine.pair_i, dtype=np.int64)
+        self._pair_j = np.asarray(engine.pair_j, dtype=np.int64)
+        if self.P:
+            self._pair_rsum = engine.pair_rsum[:, None]        # [P,1]
+
+        # Branch sparsity of M_dd for the block-Schur inverse: dofs couple
+        # only along ancestor chains, so the dof-dof block is block-diagonal
+        # by the subtree hanging off the root (left leg / right leg /
+        # waist+arms for the G1). Grouping is derived from the ancestry mask.
+        anc = np.asarray(engine.dof_anc) + np.asarray(engine.dof_anc).T
+        groups, seen = [], set()
+        for d in range(self.nd):
+            if d in seen:
+                continue
+            comp, stack = set(), [d]
+            while stack:
+                i = stack.pop()
+                if i in comp:
+                    continue
+                comp.add(i)
+                stack.extend(int(j) for j in np.nonzero(anc[i] > 0)[0] if j not in comp)
+            seen |= comp
+            groups.append(np.asarray(sorted(comp), dtype=np.int64))
+        self._dof_groups = groups
 
     # ------------------------------------------------------------------ FK
     def _fk(self, dof_pos, root_quat, root_pos):
@@ -274,6 +300,38 @@ class LanesEngine:
         bias_root = self._swap6(f_sub[:, 0])                             # [6,N]
         return jnp.concatenate([bias_root, bias_d], axis=0)              # [nv,N]
 
+    def _m_inverse(self, M):
+        """Branch-sparse SPD inverse of the mass matrix [nv,nv,N].
+
+        M_dd is block-diagonal over the subtrees hanging off the root (legs /
+        waist+arms), so invert the small blocks independently and recover the
+        dense inverse via the 6x6 root Schur complement — ~10x less HBM
+        traffic than dense Gauss-Jordan on [nv,2nv,N] (the former top cost of
+        the whole substep)."""
+        nd, N = self.nd, M.shape[-1]
+        R = M[:6, :6]                                          # [6,6,N]
+        B = M[6:, :6]                                          # [nd,6,N]
+        D_inv = jnp.zeros((nd, nd, N), M.dtype)
+        for g in self._dof_groups:
+            blk = M[6 + g[:, None], 6 + g[None, :]]            # [ng,ng,N]
+            D_inv = D_inv.at[g[:, None], g[None, :]].set(_spd_inverse_lanes(blk))
+        E = jnp.einsum("ijn,jkn->ikn", D_inv, B)               # [nd,6,N]
+        S = R - jnp.einsum("jin,jkn->ikn", B, E)               # [6,6,N]
+        S_inv = _spd_inverse_lanes(S)
+        TR = -jnp.einsum("ijn,kjn->ikn", S_inv, E)             # [6,nd,N]
+        BR = D_inv - jnp.einsum("ijn,jkn->ikn", E, TR)         # [nd,nd,N]
+        top = jnp.concatenate([S_inv, TR], axis=1)             # [6,nv,N]
+        bot = jnp.concatenate([jnp.swapaxes(TR, 0, 1), BR], axis=1)
+        return jnp.concatenate([top, bot], axis=0)             # [nv,nv,N]
+
+    def _gravity_forces(self, I_o, Phi_d):
+        """Generalized gravity force [nv,N] (engine.gravity_forces, lanes)."""
+        f = I_o[:, 5] * GRAVITY                                    # [6,B,N]
+        f_sub = jnp.einsum("bc,icn->ibn", self._subtree, f)
+        G_d = jnp.sum(Phi_d * f_sub[:, self._dof_body], axis=0)
+        G_root = self._swap6(f_sub[:, 0])
+        return jnp.concatenate([G_root, G_d], axis=0)
+
     # ------------------------------------------------------------------ contact
     def _contact_jacobian(self, p_w, R_w, Phi_d, p_rel):
         """Jf [3K? -> [K3, nv, N] flat rows (k-major), x [3,K,N] absolute."""
@@ -299,6 +357,33 @@ class LanesEngine:
         Jf = jnp.moveaxis(J, 0, 1).reshape(K * 3, nv, N)           # rows (k,comp)
         return Jf, x
 
+    def _pair_rows(self, J3, x):
+        """Self-collision rows, env-last (see Engine._pair_rows).
+
+        J3 [K,3,nv,N] point Jacobians, x [3,K,N] sphere centers ->
+        (Jp [P*3,nv,N] contact-frame rows, phi_p [P,N], C [3,3,P,N] with
+        C[a,b] = component b of basis row a (t1,t2,n))."""
+        d = x[:, self._pair_i] - x[:, self._pair_j]                # [3,P,N]
+        dist = jnp.sqrt(d[0] ** 2 + d[1] ** 2 + d[2] ** 2)         # [P,N]
+        n = d / jnp.maximum(dist, 1e-9)[None]
+        phi_p = dist - self._pair_rsum
+        use_z = jnp.abs(n[2]) < 0.9
+        ref = jnp.stack([jnp.where(use_z, 0.0, 1.0),
+                         jnp.zeros_like(dist),
+                         jnp.where(use_z, 1.0, 0.0)])              # [3,P,N]
+        t1 = _cross3(ref, n)
+        t1 = t1 / jnp.maximum(
+            jnp.sqrt(jnp.sum(t1 * t1, axis=0, keepdims=True)), 1e-9)
+        t2 = _cross3(n, t1)
+        C = jnp.stack([t1, t2, n], axis=0)                         # [3,3,P,N]
+        Jrel = J3[self._pair_i] - J3[self._pair_j]                 # [P,3,nv,N]
+        # explicit 3x3 loop (house style): einsum over the tiny basis dims
+        # lowers to relayout-heavy dot_generals (measured 2.7 ms standalone)
+        Jp = jnp.stack(
+            [sum(C[a][b][:, None] * Jrel[:, b] for b in range(3)) for a in range(3)],
+            axis=1)                                                # [P,3,nv,N]
+        return Jp.reshape(-1, J3.shape[2], J3.shape[3]), phi_p, C
+
     def _ground_height(self, xy):
         """xy [2,K,N] -> [K,N] (bilinear heightfield or flat plane)."""
         e = self.e
@@ -313,8 +398,12 @@ class LanesEngine:
                 + hf[i0 + 1, j0] * fi * (1 - fj) + hf[i0 + 1, j0 + 1] * fi * fj)
 
     # ------------------------------------------------------------------ substep
-    def _substep(self, paramsT, stateT, tauT):
-        """One physics step, all arrays env-last. Returns (stateT, lam [K3,N])."""
+    def _substep(self, paramsT, stateT, tauT, lam_prev=None):
+        """One physics step, all arrays env-last.
+
+        Returns (stateT, lam [KT,3,N] WORLD-frame impulses: K ground rows then
+        P pair rows). `lam_prev` (same layout) warm-starts the APGD solve.
+        """
         opt = self.opt
         nv, K = self.nv, self.K
         N = tauT.shape[-1]
@@ -329,10 +418,21 @@ class LanesEngine:
                        - paramsT["dof_frictionloss"] * jnp.tanh(qd0 / 0.05))
         tau_full = jnp.concatenate([jnp.zeros((6, N)), tauT + tau_passive], axis=0)
 
-        M_inv = _spd_inverse_lanes(M)                              # [nv,nv,N]
+        M_inv = self._m_inverse(M)                                 # [nv,nv,N]
         u = jnp.concatenate([stateT["rv"], stateT["rw"], qd0], axis=0)  # [nv,N]
         rhs = tau_full - bias
         u_plus = u + opt.dt * jnp.sum(M_inv * rhs[None], axis=1)
+
+        # energy-consistent projection of the explicit Coriolis integration
+        # (see engine._pre_contact for the derivation)
+        if opt.energy_projection:
+            G = self._gravity_forces(I_o, Phi_d)                   # [nv,N]
+            ke0 = 0.5 * jnp.sum(u * jnp.sum(M * u[None], axis=1), axis=0)
+            ke_plus = 0.5 * jnp.sum(u_plus * jnp.sum(M * u_plus[None], axis=1), axis=0)
+            p_ext = 0.5 * jnp.sum((u + u_plus) * (tau_full - G), axis=0)
+            target = jnp.maximum(ke0 + opt.dt * p_ext, 0.0)
+            s = jnp.minimum(jnp.sqrt(target / jnp.maximum(ke_plus, 1e-12)), 1.0)
+            u_plus = u_plus * s[None]
 
         Jf, x = self._contact_jacobian(p_w, R_w, Phi_d, p_rel)
         # re-apply ancestry mask at the flat level (see note in _contact_jacobian)
@@ -342,19 +442,51 @@ class LanesEngine:
         Jf = Jf * anc
         phi = x[2] - self._contact_radius - self._ground_height(x[:2])  # [K,N]
 
+        # self-collision pair rows appended after the ground rows
+        KT = self.KT
+        C = None
+        if self.P:
+            Jp, phi_p, C = self._pair_rows(Jf.reshape(K, 3, nv, N), x)
+            Jf = jnp.concatenate([Jf, Jp], axis=0)                 # [KT3,nv,N]
+            phi = jnp.concatenate([phi, phi_p], axis=0)            # [KT,N]
+
+        # warm start: world -> contact frame for pair rows
+        if lam_prev is None:
+            lam_cf = jnp.zeros((KT, 3, N))
+        elif self.P:
+            lam_cf = jnp.concatenate(
+                [lam_prev[:K],
+                 jnp.stack([sum(C[a][b] * lam_prev[K:, b] for b in range(3))
+                            for a in range(3)], axis=1)], axis=0)
+        else:
+            lam_cf = lam_prev
+
+        # active-set pruning: solve only the cap closest rows (gather, no
+        # scatter — selected impulses return to full rows via a one-hot matmul)
+        cap = opt.contact_cap
+        idxT = None
+        if 0 < cap < KT:
+            _, idx = jax.lax.top_k(-phi.T, cap)                    # [N,cap]
+            idxT = idx.T                                           # [cap,N]
+            J4 = Jf.reshape(KT, 3, nv, N)
+            Jf = jnp.take_along_axis(
+                J4, idxT[:, None, None, :], axis=0).reshape(cap * 3, nv, N)
+            phi = jnp.take_along_axis(phi, idxT, axis=0)
+            lam_cf = jnp.take_along_axis(lam_cf, idxT[:, None, :], axis=0)
+        R = phi.shape[0]                                           # solver rows
+
         # Delassus and contact solve (APGD; see engine._solve_contacts)
         Jf_b, M_inv_b = jax.lax.optimization_barrier((Jf, M_inv))
-        JM = jnp.einsum("avn,vwn->awn", Jf_b, M_inv_b)             # [K3,nv,N]
-        A = jnp.einsum("awn,bwn->abn", JM, Jf_b)                   # [K3,K3,N]
+        JM = jnp.einsum("avn,vwn->awn", Jf_b, M_inv_b)             # [R3,nv,N]
+        A = jnp.einsum("awn,bwn->abn", JM, Jf_b)                   # [R3,R3,N]
         A = jax.lax.optimization_barrier(A)
 
-        active = (phi < opt.contact_margin).astype(jnp.float32)    # [K,N]
-        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
-        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity)
-        v0 = jnp.sum(Jf * u_plus[None], axis=1).reshape(K, 3, N)   # [K,3,N]
-        # restitution bias: post-impulse normal velocity target -e * v_n^-
-        b = v0.at[:, 2].add(-b_err + paramsT["restitution"][None]
-                            * jnp.minimum(v0[:, 2], 0.0)).reshape(K * 3, N)
+        active = (phi < opt.contact_margin).astype(jnp.float32)    # [R,N]
+        v0 = jnp.sum(Jf * u_plus[None], axis=1).reshape(R, 3, N)   # [R,3,N]
+        # PURE velocity solve (restitution bias only); penetration is handled
+        # by the split-impulse position pass below (see engine._solve_contacts)
+        b = v0.at[:, 2].add(paramsT["restitution"][None]
+                            * jnp.minimum(v0[:, 2], 0.0)).reshape(R * 3, N)
 
         kernel = self.opt.lanes_contact_kernel
         if N % 128 == 0 and (kernel == "pallas" or
@@ -362,20 +494,67 @@ class LanesEngine:
             from pbhc_tpu.sim.pallas_contact import solve_contacts_pallas_lanes
 
             lam = solve_contacts_pallas_lanes(
-                A, b, paramsT["friction"], active, iters=self.opt.solver_iters)
+                A, b, paramsT["friction"], active, iters=self.opt.solver_iters,
+                x0=lam_cf.reshape(R * 3, N))
         else:
-            lam = self._apgd(A, b, paramsT["friction"], active)    # [K3,N]
+            lam = self._apgd(A, b, paramsT["friction"], active,
+                             x0=lam_cf.reshape(R * 3, N))          # [R3,N]
+
+        # energy safeguard: rescale so the QP objective (= post-impulse KE
+        # change for b = v0) is non-positive (see engine._solve_contacts)
+        qv = jnp.sum(A * lam[None], axis=1)                        # [R3,N]
+        lAl = jnp.sum(lam * qv, axis=0)                            # [N]
+        t = jnp.clip(-jnp.sum(b * lam, axis=0) / jnp.maximum(lAl, 1e-12), 0.0, 1.0)
+        t = jnp.where(lAl > 1e-12, t, 1.0)
+        lam = lam * t[None]
+
         imp = jnp.sum(Jf * lam[:, None], axis=0)                   # [nv,N]
         u_new = u_plus + jnp.sum(M_inv * imp[None], axis=1)
-        return self._integrate(stateT, u_new), lam
 
-    def _apgd(self, A, b, mu, active):
+        # split-impulse position pass (normal-only projected gradient)
+        b_err = -opt.baumgarte / opt.dt * jnp.minimum(phi + opt.penetration_slop, 0.0)
+        b_err = jnp.minimum(b_err, opt.max_depenetration_velocity) # [R,N]
+        act3 = jnp.repeat(active, 3, axis=0)                       # [R3,N]
+        Lp = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[None], axis=1), axis=0)
+        inv_Lp = 1.0 / jnp.maximum(Lp, 1e-6)                       # [N]
+        cp = (jnp.zeros((R, 3, N)).at[:, 2].set(b_err * active)).reshape(R * 3, N)
+
+        def pos_body(x, _):
+            g = jnp.sum(A * x[None], axis=1) - cp
+            x3 = (x - inv_Lp[None] * g).reshape(R, 3, N)
+            x = (jnp.zeros_like(x3).at[:, 2]
+                 .set(jnp.maximum(x3[:, 2], 0.0) * active)).reshape(R * 3, N)
+            return x, None
+
+        lam_p, _ = jax.lax.scan(pos_body, jnp.zeros((R * 3, N)), None,
+                                length=opt.pos_iters)
+        dpos = opt.dt * jnp.sum(
+            M_inv * jnp.sum(Jf * lam_p[:, None], axis=0)[None], axis=1)
+
+        lam3 = lam.reshape(R, 3, N)
+        if idxT is not None:
+            onehot = (idxT[:, None, :] == jnp.arange(KT)[None, :, None]
+                      ).astype(lam3.dtype)                         # [cap,KT,N]
+            lam3 = jnp.stack([jnp.sum(onehot * lam3[:, a][:, None], axis=0)
+                              for a in range(3)], axis=1)         # [KT,3,N]
+        if self.P:  # pair rows: contact frame -> world
+            lam3 = jnp.concatenate(
+                [lam3[:K],
+                 jnp.stack([sum(C[a][b] * lam3[K:, a] for a in range(3))
+                            for b in range(3)], axis=1)], axis=0)
+        return self._integrate(stateT, u_new, dpos), lam3
+
+    def _apgd(self, A, b, mu, active, x0=None):
         """Accelerated projected gradient on the contact QP, env-last.
-        A [K3,K3,N], b [K3,N], mu [N], active [K,N] -> lam [K3,N]."""
+        A [R3,R3,N], b [R3,N], mu [N], active [R,N] -> lam [R3,N].
+        `x0` warm-starts the iteration (zeros otherwise)."""
         opt = self.opt
-        K = self.K
-        L_const = jnp.maximum(jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0), 1e-6)
-        inv_L = 1.0 / L_const                                      # [N]
+        K = active.shape[0]
+        # Lipschitz bound over ACTIVE rows only (see engine._solve_contacts)
+        act3 = jnp.repeat(active, 3, axis=0)                       # [R3,N]
+        L_const = jnp.max(
+            act3 * jnp.sum(jnp.abs(A) * act3[None], axis=1), axis=0)
+        inv_L = 1.0 / jnp.maximum(L_const, 1e-6)                   # [N]
 
         def project(lam):
             lam3 = lam.reshape(K, 3, -1)
@@ -394,17 +573,20 @@ class LanesEngine:
             x_new = project(y - inv_L[None] * g)
             return (x_new, x, theta_new), None
 
-        init = (jnp.zeros_like(b), jnp.zeros_like(b), jnp.asarray(1.0, b.dtype))
+        start = project(x0) if x0 is not None else jnp.zeros_like(b)
+        init = (start, start, jnp.asarray(1.0, b.dtype))
         (lam, _, _), _ = jax.lax.scan(body, init, None, length=opt.solver_iters)
         return lam
 
-    def _integrate(self, stateT, u_new):
-        """Semi-implicit Euler + caps + hard joint limits (engine._integrate)."""
+    def _integrate(self, stateT, u_new, dpos=None):
+        """Semi-implicit Euler + caps + hard joint limits (engine._integrate).
+        `dpos` [nv,N] = split-impulse position correction (positions only)."""
         opt = self.opt
         v_r = jnp.clip(u_new[:3], -opt.max_root_lin_vel, opt.max_root_lin_vel)
         w_r = jnp.clip(u_new[3:6], -opt.max_root_ang_vel, opt.max_root_ang_vel)
         qd = jnp.clip(u_new[6:], -opt.max_dof_vel, opt.max_dof_vel)
-        dof_pos = stateT["q"] + qd * opt.dt
+        dp6 = 0.0 if dpos is None else dpos[6:]
+        dof_pos = stateT["q"] + qd * opt.dt + dp6
         if opt.joint_limits:
             lo = self._dof_limits[:, 0][:, None]
             hi = self._dof_limits[:, 1][:, None]
@@ -412,11 +594,12 @@ class LanesEngine:
             dof_pos = jnp.clip(dof_pos, lo, hi)
             qd = jnp.where(below & (qd < 0), 0.0, qd)
             qd = jnp.where(above & (qd > 0), 0.0, qd)
-        return dict(
-            rp=stateT["rp"] + v_r * opt.dt,
-            rq=_quat_integrate_lanes(stateT["rq"], w_r, opt.dt),
-            rv=v_r, rw=w_r, q=dof_pos, qd=qd,
-        )
+        rq = _quat_integrate_lanes(stateT["rq"], w_r, opt.dt)
+        rp = stateT["rp"] + v_r * opt.dt
+        if dpos is not None:
+            rp = rp + dpos[:3]
+            rq = _quat_integrate_lanes(rq, dpos[3:6], 1.0)
+        return dict(rp=rp, rq=rq, rv=v_r, rw=w_r, q=dof_pos, qd=qd)
 
     # ------------------------------------------------------------- control step
     @staticmethod
@@ -464,18 +647,24 @@ class LanesEngine:
                 dof_pos=stT["q"].T, dof_vel=stT["qd"].T,
             )
 
-        def body(stT, key):
+        def body(carry, key):
+            stT, lam_prev = carry
             if pre_substep_fn is not None:
                 st = pre_substep_fn(view(stT))
                 stT = self._to_lanes(st)
             tau = torque_fn(view(stT), key)                        # [N,nd]
-            stT, lam = self._substep(paramsT, stT, tau.T)
-            return stT, (lam, tau)
+            warm = lam_prev if self.opt.warm_start else None
+            stT, lam = self._substep(paramsT, stT, tau.T, warm)
+            return (stT, lam), (lam, tau)
 
-        stT, (lams, taus) = jax.lax.scan(body, self._to_lanes(states), keys)
-        lam_acc = jnp.moveaxis(lams.sum(axis=0), -1, 0).reshape(N, self.K, 3)
-        cf = jnp.zeros((N, self.nb, 3)).at[:, self._contact_body].add(
-            lam_acc / (self.opt.dt * decimation))
+        init = (self._to_lanes(states), jnp.zeros((self.KT, 3, N)))
+        (stT, _), (lams, taus) = jax.lax.scan(body, init, keys)
+        lam_acc = jnp.moveaxis(lams.sum(axis=0), -1, 0)            # [N,KT,3]
+        f = lam_acc / (self.opt.dt * decimation)
+        cf = jnp.zeros((N, self.nb, 3)).at[:, self._contact_body].add(f[:, : self.K])
+        if self.P:
+            cf = cf.at[:, self._contact_body[self._pair_i]].add(f[:, self.K:])
+            cf = cf.at[:, self._contact_body[self._pair_j]].add(-f[:, self.K:])
         out = view(stT)
         out = jax.vmap(e.derived_state)(params, out)
         out = dataclasses.replace(out, contact_forces=cf)

@@ -45,8 +45,9 @@ def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
     active = active_ref[0]                                           # [K,L]
     n = 3 * K
 
-    # Lipschitz bound: max row abs-sum per env
-    L_const = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)           # [L]
+    # Lipschitz bound over ACTIVE rows only (see engine._solve_contacts)
+    act3 = jnp.broadcast_to(active[:, None, :], (K, 3, active.shape[-1])).reshape(n, -1)
+    L_const = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[None], axis=1), axis=0)
     inv_L = 1.0 / jnp.maximum(L_const, 1e-6)
 
     def project(lam):                                                # [3K,L]
@@ -74,10 +75,12 @@ def _apgd_kernel(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
-def solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=False):
+def solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=False,
+                                x0=None):
     """Lanes-native batched APGD: inputs already env-last, ZERO transposes.
 
     A [3K,3K,N], b [3K,N], mu [N], active [K,N] -> lam [3K,N].
+    `x0` [3K,N] (optional) warm-starts the iteration.
     N must be a multiple of 128. The grid tiles the env (lane) axis; each
     program keeps its [3K,3K,128] Delassus tile resident in VMEM for all
     iterations — the XLA scan re-reads A from HBM every iteration instead
@@ -87,6 +90,8 @@ def solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=False):
     K = n // 3
     assert N % LANES == 0, f"N={N} must be a multiple of {LANES}"
     G = N // LANES
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
 
     return pl.pallas_call(
         partial(_apgd_kernel_lanes, iters=iters, K=K),
@@ -96,14 +101,15 @@ def solve_contacts_pallas_lanes(A, b, mu, active, iters=32, interpret=False):
             pl.BlockSpec((n, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, LANES), lambda g: (0, g), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, N), A.dtype),
         interpret=interpret,
-    )(A, b, mu[None], active)
+    )(A, b, mu[None], active, x0)
 
 
-def _apgd_kernel_lanes(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
+def _apgd_kernel_lanes(A_ref, b_ref, mu_ref, active_ref, x0_ref, lam_ref, *, iters, K):
     """Grid-blocked twin of _apgd_kernel (blocks carry no leading grid dim)."""
     A = A_ref[:]                                                     # [3K,3K,L]
     b = b_ref[:]                                                     # [3K,L]
@@ -111,7 +117,9 @@ def _apgd_kernel_lanes(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
     active = active_ref[:]                                           # [K,L]
     n = 3 * K
 
-    L_const = jnp.max(jnp.sum(jnp.abs(A), axis=1), axis=0)           # [L]
+    # Lipschitz bound over ACTIVE rows only (see engine._solve_contacts)
+    act3 = jnp.broadcast_to(active[:, None, :], (K, 3, active.shape[-1])).reshape(n, -1)
+    L_const = jnp.max(act3 * jnp.sum(jnp.abs(A) * act3[None], axis=1), axis=0)
     inv_L = 1.0 / jnp.maximum(L_const, 1e-6)
 
     def project(lam):                                                # [3K,L]
@@ -122,7 +130,7 @@ def _apgd_kernel_lanes(A_ref, b_ref, mu_ref, active_ref, lam_ref, *, iters, K):
         out = jnp.stack([lam3[:, 0] * scale, lam3[:, 1] * scale, ln], axis=1)
         return (out * active[:, None]).reshape(n, -1)
 
-    x = jnp.zeros_like(b)
+    x = project(x0_ref[:])
     x_prev = x
     for beta in _beta_schedule(iters):                               # static unroll
         y = x + beta * (x - x_prev)

@@ -31,7 +31,7 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def ref_motion_path():
-    p = "/root/reference/example/motion_data/Horse-stance_pose.pkl"
+    p = "/root/repo/assets/motions/Horse-stance_pose.pkl"
     if not os.path.exists(p):
         pytest.skip("reference motion data not available")
     return p

@@ -78,7 +78,7 @@ def test_train_cli_multichip(tmp_path, monkeypatch):
         "exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu",
         "num_envs=8",
-        "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl",
+        "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl",
         "algo.config.num_learning_iterations=2",
         "algo.config.num_steps_per_env=2",
         "algo.config.num_mini_batches=2",

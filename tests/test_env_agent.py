@@ -9,7 +9,7 @@ import pytest
 from pbhc_tpu.config.loader import compose
 
 CFG_DIR = "/root/repo/pbhc_tpu/config"
-MOTION = "/root/reference/example/motion_data/Horse-stance_pose.pkl"
+MOTION = "/root/repo/assets/motions/Horse-stance_pose.pkl"
 
 
 @pytest.fixture(scope="module")
@@ -178,7 +178,7 @@ def test_close_to_limit_terminations():
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
         ["num_envs=4",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl",
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl",
          "env.config.termination.terminate_when_close_to_dof_vel_limit=true",
          "env.config.termination_probality.terminate_when_close_to_dof_vel_limit=1.0"],
     )

@@ -50,7 +50,7 @@ def exported_policy(tmp_path_factory):
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
         ["num_envs=2",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
     algo = MHPPO(cfg, env)
@@ -77,7 +77,7 @@ def test_mujoco_deploy_runtime(exported_policy):
     from pbhc_tpu.deploy.mujoco_runtime import MujocoDeployRobot
 
     path, env, algo, params = exported_policy
-    robot = MujocoDeployRobot(path, "/root/reference/example/motion_data/Horse-stance_pose.pkl")
+    robot = MujocoDeployRobot(path, "/root/repo/assets/motions/Horse-stance_pose.pkl")
     robot.reset()
     z0 = robot.d.qpos[2]
     assert 0.3 < z0 < 1.2  # reset pose comes from the motion first frame

@@ -14,7 +14,7 @@ from pbhc_tpu.model.mjcf import load_mjcf
 from pbhc_tpu.model.kinematics import fk_pose_aa, fk_root_dof, dof_from_pose_aa, fk_velocities
 from pbhc_tpu.motion.motion_lib import MotionLib, get_motion_state, sample_time
 
-MJCF = "/root/reference/description/robots/g1/g1_23dof_lock_wrist_fitmotionONLY.xml"
+MJCF = "/root/repo/assets/robots/g1/g1_23dof_lock_wrist_fitmotionONLY.xml"
 EXTEND = [
     {"joint_name": "left_hand_link", "parent_name": "left_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0, 0, 0]},
     {"joint_name": "right_hand_link", "parent_name": "right_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0, 0, 0]},

@@ -16,8 +16,8 @@ def multi_motion(tmp_path_factory):
     from pbhc_tpu.motion.package import merge
 
     out = tmp_path_factory.mktemp("motions") / "multi.pkl"
-    merge(out, ["/root/reference/example/motion_data/Horse-stance_pose.pkl",
-                "/root/reference/example/motion_data/Hooks_punch.pkl"])
+    merge(out, ["/root/repo/assets/motions/Horse-stance_pose.pkl",
+                "/root/repo/assets/motions/Hooks_punch.pkl"])
     return str(out)
 
 

@@ -7,12 +7,19 @@ the image); deploy metadata comes from the ckpt-adjacent config.yaml. A policy
 that keeps the robot upright through its whole motion proves the obs layout,
 PD conventions, and motion-phase handling all match the reference.
 """
+import os
+
 import numpy as np
 import pytest
 
 POSE = "/root/reference/example/pretrained_horse_stance_pose"
 PUNCH = "/root/reference/example/pretrained_horse_stance_punch"
 MOTIONS = "/root/reference/example/motion_data"
+
+# golden artifacts only exist in the reference checkout; the framework itself
+# runs from vendored assets/ (these tests are optional reference-parity checks)
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(POSE), reason="reference golden artifacts not available")
 
 
 def test_onnx_decoder_matches_graph():

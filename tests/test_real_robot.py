@@ -16,7 +16,7 @@ def test_controller_state_machine(tmp_path):
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
         ["num_envs=2",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
 

@@ -51,7 +51,7 @@ def test_urci_routing_and_attacks(tmp_path):
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
         ["num_envs=2",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
     algo = MHPPO(cfg, env)
@@ -82,7 +82,7 @@ def test_terrain_config_group(tmp_path):
          "terrain=locomotion"],
         ["num_envs=2", "terrain.num_rows=2", "terrain.num_cols=2",
          "terrain.border_size=2.0",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
     assert env.terrain is not None
@@ -98,7 +98,7 @@ def test_terrain_config_group(tmp_path):
          "rewards=motion_tracking", "domain_rand=off", "simulator=tpu",
          "terrain=plane"],
         ["num_envs=2",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     env2 = MotionTrackingEnv(cfg2, 2, jax.random.PRNGKey(0))
     assert env2.terrain is None and env2.engine.terrain_hf is None
@@ -117,7 +117,7 @@ def test_urci_deploy_groups(tmp_path):
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
         ["num_envs=2",
-         "robot.motion.motion_file=/root/reference/example/motion_data/Horse-stance_pose.pkl"],
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
     )
     env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
     algo = MHPPO(cfg, env)

@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 
 from pbhc_tpu.utils.profiling import timeit  # noqa: E402
 
-MOTION = "/root/reference/example/motion_data/Horse-stance_punch.pkl"
+MOTION = "/root/repo/assets/motions/Horse-stance_punch.pkl"
 
 
 def bench_sim(num_envs):

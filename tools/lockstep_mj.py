@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MJCF = "/root/reference/description/robots/g1/g1_23dof_lock_wrist.xml"
+MJCF = "/root/repo/assets/robots/g1/g1_23dof_lock_wrist.xml"
 
 
 def main(argv=None):

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 
-MOTION = "/root/reference/example/motion_data/Horse-stance_punch.pkl"
+MOTION = "/root/repo/assets/motions/Horse-stance_punch.pkl"
 SELS = ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"]
 
