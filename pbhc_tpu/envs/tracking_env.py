@@ -118,7 +118,10 @@ class MotionTrackingEnv:
                           lanes_contact_kernel=str(sim_cfg.get("lanes_contact_kernel", "auto")),
                           self_collision=self_coll,
                           contact_cap=int(sim_cfg.get("contact_cap", 0)),
-                          warm_start=bool(sim_cfg.get("warm_start", True))),
+                          warm_start=bool(sim_cfg.get("warm_start", True)),
+                          pos_iters=int(sim_cfg.get("pos_iters", 8)),
+                          contact_matvec_dtype=str(
+                              sim_cfg.get("contact_matvec_dtype", "float32"))),
         )
         if self.engine.opt.solver == "lanes":
             from pbhc_tpu.sim.engine_lanes import LanesEngine

@@ -129,6 +129,11 @@ class EngineOptions:
     # the iterations needed for convergence ~2-4x (impulses are temporally
     # coherent at 200 Hz); control_step threads the carry automatically.
     warm_start: bool = True
+    # dtype for the per-iteration APGD/position matvec A @ x (lanes engine).
+    # The scans re-read the Delassus matrix every iteration, so "bfloat16"
+    # halves the dominant solver HBM traffic; gradients upcast to f32
+    # in-register and the projection/energy-safeguard math stays f32.
+    contact_matvec_dtype: str = "float32"
     # lanes-engine contact solve. Default is the XLA scan: measured IN-SITU at
     # 4096 envs it beats the Pallas VMEM-resident kernel (19.8 vs 37.7
     # ms/ctrl-step) — the pallas_call boundary blocks XLA from fusing the
