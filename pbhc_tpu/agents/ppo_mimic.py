@@ -242,9 +242,15 @@ class PPOMimic:
         return (params, opt, lr, it), dict(surrogate=surr, value_loss=vloss,
                                            entropy=entropy, kl=kl, priv_reg=priv_reg)
 
-    @partial(jax.jit, static_argnums=0)
-    def rl_iteration(self, ts: MimicTrainState):
-        env_state, obs, rng, traj, env_logs = self._rollout(ts, hist_encoding=False)
+    @partial(jax.jit, static_argnums=(0, 2))
+    def rl_iteration(self, ts: MimicTrainState, hist_encoding: bool = False):
+        """One PPO iteration; with `hist_encoding` the rollout runs through the
+        deployable history-latent path AND the history encoder is regressed
+        onto the priv latent over the same data — the reference's learn_RL
+        schedule sets hist_encoding every dagger_update_freq iterations and
+        runs BOTH the RL update and the DAgger update that iteration
+        (reference ppo_mimic.py:267-275)."""
+        env_state, obs, rng, traj, env_logs = self._rollout(ts, hist_encoding=hist_encoding)
         last_values = self.net.apply(ts.params, obs, method=MimicActorCritic.evaluate)
         returns, advantages = self._gae(traj, last_values)
         T, N = self.num_steps, self.env.num_envs
@@ -271,41 +277,51 @@ class PPOMimic:
                     "Loss/kl": metrics["kl"].mean(),
                     "Loss/priv_reg": metrics["priv_reg"].mean(),
                     "Loss/lr": lr})
-        return MimicTrainState(params=params, opt=opt, hist_opt=ts.hist_opt, lr=lr,
+        hist_opt = ts.hist_opt
+        if hist_encoding:
+            # DAgger pass on the same rollout with the post-RL params
+            # (reference _training_step_dagger, ppo_mimic.py:693-709)
+            batches = (flat["priv_obs"].reshape(self.num_minibatches, mb, -1),
+                       flat["prop_history"].reshape(self.num_minibatches, mb, -1))
+            (params, hist_opt), dg_losses = jax.lax.scan(
+                self._update_dagger, (params, hist_opt), batches)
+            log["Loss/hist_latent"] = dg_losses.mean()
+        return MimicTrainState(params=params, opt=opt, hist_opt=hist_opt, lr=lr,
                                env_state=env_state, obs=obs, rng=rng,
                                iteration=ts.iteration + 1), log
 
     # ---------------------------------------------------------------- DAgger
+    def _update_dagger(self, carry, batch):
+        """One hist-encoder minibatch: regress hist latent -> frozen priv
+        latent; only history_encoder params move (ppo_mimic.py:693-709)."""
+        params, hist_opt = carry
+        pv, hs = batch
+
+        def loss_fn(p):
+            target = jax.lax.stop_gradient(
+                self.net.apply(p, pv, method=MimicActorCritic.priv_latent))
+            pred = self.net.apply(p, hs, method=MimicActorCritic.hist_latent)
+            return jnp.linalg.norm(pred - target, axis=-1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        mask = jax.tree_util.tree_map_with_path(
+            lambda path, g: g if any("history_encoder" in str(k) for k in path) else jnp.zeros_like(g),
+            grads)
+        updates, hist_opt = self.hist_tx.update(mask, hist_opt, params)
+        params = optax.apply_updates(params, updates)
+        return (params, hist_opt), loss
+
     @partial(jax.jit, static_argnums=0)
     def dagger_iteration(self, ts: MimicTrainState):
-        """Regress hist encoder -> frozen priv latent (ppo_mimic.py:693-709)."""
+        """Standalone DAgger iteration (hist-encoder fine-tune, no RL)."""
         env_state, obs, rng, traj, env_logs = self._rollout(ts, hist_encoding=True)
         T, N = self.num_steps, self.env.num_envs
         priv = traj["priv_obs"].reshape(T * N, -1)
         hist = traj["prop_history"].reshape(T * N, -1)
         mb = T * N // self.num_minibatches
 
-        def update(carry, batch):
-            params, hist_opt = carry
-            pv, hs = batch
-
-            def loss_fn(p):
-                target = jax.lax.stop_gradient(
-                    self.net.apply(p, pv, method=MimicActorCritic.priv_latent))
-                pred = self.net.apply(p, hs, method=MimicActorCritic.hist_latent)
-                return jnp.linalg.norm(pred - target, axis=-1).mean()
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            # only the history encoder moves
-            mask = jax.tree_util.tree_map_with_path(
-                lambda path, g: g if any("history_encoder" in str(k) for k in path) else jnp.zeros_like(g),
-                grads)
-            updates, hist_opt = self.hist_tx.update(mask, hist_opt, params)
-            params = optax.apply_updates(params, updates)
-            return (params, hist_opt), loss
-
         batches = (priv.reshape(self.num_minibatches, mb, -1), hist.reshape(self.num_minibatches, mb, -1))
-        (params, hist_opt), losses = jax.lax.scan(update, (ts.params, ts.hist_opt), batches)
+        (params, hist_opt), losses = jax.lax.scan(self._update_dagger, (ts.params, ts.hist_opt), batches)
         log = {f"Env/{k}": v.mean() for k, v in env_logs.items()}
         log.update({"Loss/hist_latent": losses.mean(),
                     "Train/mean_step_reward": traj["rewards"].sum(-1).mean(),
@@ -355,6 +371,8 @@ class PPOMimic:
         it = int(ts.iteration)
         if self.dagger_only:
             return self.distill_iteration(ts)
-        if self.dagger_update_freq > 0 and it > 0 and it % self.dagger_update_freq == 0:
-            return self.dagger_iteration(ts)
-        return self.rl_iteration(ts)
+        # reference learn_RL: hist_encoding iterations roll out through the
+        # deployable history path and run RL + DAgger on the same data
+        # (ppo_mimic.py:267-275)
+        hist_enc = self.dagger_update_freq > 0 and it % self.dagger_update_freq == 0
+        return self.rl_iteration(ts, hist_enc)

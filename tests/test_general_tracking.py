@@ -82,15 +82,20 @@ def test_ppo_mimic_modes(env):
 
     algo = PPOMimic(cfg, env)
     ts = algo.init_train_state(jax.random.PRNGKey(5))
-    ts, log = algo.train_iteration(ts)        # RL mode
+    # it=0 is a hist_encoding iteration (reference learn_RL: it % freq == 0):
+    # RL update + DAgger pass on the same rollout
+    ts, log = algo.train_iteration(ts)
     assert np.isfinite(float(log["Loss/priv_reg"]))
-    ts = dataclasses.replace(ts, iteration=jnp.asarray(20, jnp.int32))
-    p_before = jax.device_get(ts.params)
-    ts, log = algo.train_iteration(ts)        # DAgger mode
     assert np.isfinite(float(log["Loss/hist_latent"]))
-    # dagger only moves history-encoder params
+    # it=1 is plain RL: no DAgger pass
+    ts, log = algo.train_iteration(ts)
+    assert "Loss/hist_latent" not in log
+    # the standalone DAgger iteration only moves history-encoder params
     import flax
 
+    p_before = jax.device_get(ts.params)
+    ts, log = algo.dagger_iteration(ts)
+    assert np.isfinite(float(log["Loss/hist_latent"]))
     flat_b = flax.traverse_util.flatten_dict(p_before)
     flat_a = flax.traverse_util.flatten_dict(jax.device_get(ts.params))
     for k in flat_b:
