@@ -71,6 +71,65 @@ def export_policy(actor_params, env, path, meta_extra=None, actor=None):
     return path
 
 
+def student_meta(env, meta_extra=None):
+    """Deploy metadata for a general-tracking (student) env — everything
+    StudentObsBuilder and the runtimes need to rebuild the training obs."""
+    meta = {
+        "num_actions": int(env.nd),
+        "obs_dim": int(env.obs_dim("actor_obs")),
+        "action_scale": np.asarray(env.action_scales).tolist(),
+        "default_dof_pos": np.asarray(env.raw_default_dof_pos).tolist(),
+        "kp": np.asarray(env.p_gains).tolist(),
+        "kd": np.asarray(env.d_gains).tolist(),
+        "torque_limits": np.asarray(env.torque_limits).tolist(),
+        "dof_names": list(env.sim_model.dof_names),
+        "obs_groups": {k: list(v) for k, v in env.config.obs.obs_dict.items()},
+        "obs_dims": dict(env.obs_dims),
+        "obs_scales": {k: float(v) for k, v in env.config.obs.obs_scales.items()},
+        "history_spec": {g: dict(s) for g, s in env.history_spec.items()},
+        "history_length": int(env.config.obs.history_length),
+        "future_num_steps": int(env.future_num_steps),
+        "future_max_steps": int(env.future_max_steps),
+        "key_body_ids": np.asarray(env.key_body_id).tolist(),
+        "anchor_index": int(env.anchor_index),
+        "action_clip": float(env.action_clip),
+        "clip_obs": float(env.clip_obs),
+        "dt": float(env.dt),
+    }
+    if meta_extra:
+        meta.update(meta_extra)
+    return meta
+
+
+def export_student(net, params, env, path, meta_extra=None):
+    """Export the deployable student: the 3-input ONNX graph (actor_obs /
+    future_motion_targets / prop_history, reference inference_helpers.py:
+    95-138) plus a sidecar .meta.json consumed by StudentObsBuilder and the
+    deploy runtimes."""
+    from pbhc_tpu.deploy.onnx_export import export_mimic_onnx
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    export_mimic_onnx(net, params, path, obs_dim=env.obs_dim("actor_obs"))
+    meta = student_meta(env, meta_extra)
+    Path(str(path) + ".meta.json").write_text(json.dumps(meta, indent=1))
+    return path
+
+
+class StudentPolicy:
+    """Runs an exported student ONNX with its sidecar metadata; input is the
+    3-array feed dict from StudentObsBuilder."""
+
+    def __init__(self, path):
+        from pbhc_tpu.deploy.onnx_numpy import OnnxPolicy
+
+        self.meta = json.loads(Path(str(path) + ".meta.json").read_text())
+        self._onnx = OnnxPolicy(path, meta=self.meta)
+
+    def __call__(self, feeds: dict):
+        return np.asarray(self._onnx.run(feeds)[0]).reshape(-1)
+
+
 class NumpyPolicy:
     """Dependency-free deterministic policy forward pass (deploy inference)."""
 
@@ -94,12 +153,29 @@ class NumpyPolicy:
 
 
 def main(argv=None):
-    """`python -m pbhc_tpu.deploy.export info policy.npz` — inspect an export
-    (reference check_model_dims.py)."""
+    """CLI:
+    `python -m pbhc_tpu.deploy.export info policy.npz` — inspect an export
+    (reference check_model_dims.py);
+    `python -m pbhc_tpu.deploy.export student <ckpt.pkl> [out.onnx]` —
+    export a PPOMimic checkpoint as the deployable 3-input student ONNX."""
     import json
     import sys
 
     argv = argv or sys.argv[1:]
+    if argv and argv[0] == "student":
+        import pickle
+
+        from pbhc_tpu.eval.batch_eval import _load
+
+        ckpt = Path(argv[1])
+        out = Path(argv[2]) if len(argv) > 2 else \
+            ckpt.parent.parent / "exported" / f"{ckpt.stem}_student.onnx"
+        env, algo, payload = _load(ckpt, 1)
+        params = payload.get("actor_params") or payload.get("params")
+        mf = str(env.config.robot.motion.motion_file)
+        export_student(algo.net, params, env, out, meta_extra={"motion_file": mf})
+        print(f"[export] student ONNX -> {out}")
+        return
     assert argv and argv[0] == "info", "usage: export info <policy.npz>"
     pol = NumpyPolicy(argv[1])
     meta = dict(pol.meta)
