@@ -75,7 +75,7 @@ class MujocoDeployRobot:
     """50 Hz policy / 500 Hz MuJoCo PD loop (reference mujoco.py:212-528)."""
 
     def __init__(self, policy_path, motion_file, xml_path=None, robot_type="g1_23dof_lock_wrist",
-                 sim_fps=500, decimation=10):
+                 sim_fps=500, decimation=10, terrain=None):
         import mujoco
 
         from pbhc_tpu.model.g1 import g1_asset_root, load_g1_motion_model
@@ -88,7 +88,18 @@ class MujocoDeployRobot:
         self.obs_builder = ObsBuilder(self.meta)
 
         xml_path = xml_path or str(g1_asset_root() / f"{robot_type}.xml")
-        self.m = mujoco.MjModel.from_xml_path(xml_path)
+        if terrain is not None:
+            # replay on the training heightfield (envs.terrain.Terrain)
+            import tempfile
+
+            from pbhc_tpu.envs.terrain import fill_mujoco_hfield
+
+            out = Path(tempfile.mkdtemp()) / "scene_terrain.xml"
+            terrain.export_mujoco(xml_path, out)
+            xml_path = str(out)
+            self.m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(xml_path), out)
+        else:
+            self.m = mujoco.MjModel.from_xml_path(xml_path)
         self.m.opt.timestep = 1.0 / sim_fps
         self.d = mujoco.MjData(self.m)
         self._mujoco = mujoco

@@ -170,7 +170,8 @@ class GeneralTrackingEnv(MotionTrackingEnv):
         t = state.episode_length.astype(jnp.float32)[:, None] * self.dt + state.motion_start_times[:, None] \
             + steps[None].astype(jnp.float32) * self.dt             # [N,S]
         ids = jnp.broadcast_to(state.motion_ids[:, None], t.shape)
-        fm = get_motion_state(self.motion_lib.data, ids, t)
+        off = state.origin_shift[:, None] if self.terrain is not None else None
+        fm = get_motion_state(self.motion_lib.data, ids, t, offset=off)
         S = self.future_num_steps
         froot_rot = fm["root_rot"]
         frpy = rot.get_euler_xyz(froot_rot)

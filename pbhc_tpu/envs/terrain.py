@@ -87,3 +87,53 @@ class Terrain:
         rows = rng.integers(0, max_row or self.cfg.num_rows, num_envs)
         cols = rng.integers(0, self.cfg.num_cols, num_envs)
         return self.env_origins[rows, cols]
+
+
+    # ------------------------------------------------------------- mujoco
+    def export_mujoco(self, robot_xml_path, out_xml_path):
+        """Write a MuJoCo scene XML with this terrain as an hfield asset
+        replacing the robot XML's floor plane, plus a sidecar .npz with the
+        elevation data (hfield data can't be inlined in XML; the loader calls
+        `fill_mujoco_hfield`). Geometry matches the engine's lookup
+        (engine.ground_height: world x -> row, world y -> col, corner at 0,0).
+
+        reference parity: PhysX heightfield terrain for sim (isaacgym.py:
+        89-150) gets no MuJoCo twin in the reference; this closes that gap so
+        rough-terrain policies can be replayed sim2sim.
+        """
+        import re
+        from pathlib import Path
+
+        hf = self.height_field
+        H, W = hf.shape
+        hs = self.cfg.horizontal_scale
+        zmin, zmax = float(hf.min()), float(hf.max())
+        elev = max(zmax - zmin, 1e-3)
+        rx, ry = H * hs / 2.0, W * hs / 2.0
+        # mujoco hfield: data[row, col]; col spans x in [-rx, rx], row spans y
+        asset = (f'<hfield name="terrain" nrow="{W}" ncol="{H}" '
+                 f'size="{rx} {ry} {elev} 1.0"/>')
+        geom = (f'<geom name="terrain" type="hfield" hfield="terrain" '
+                f'pos="{rx} {ry} {zmin}" contype="15" conaffinity="15"/>')
+
+        robot_xml_path = Path(robot_xml_path)
+        xml = robot_xml_path.read_text()
+        xml, n = re.subn(r'<geom[^>]*name="floor"[^>]*/>', geom, xml)
+        assert n == 1, "expected exactly one floor plane geom to replace"
+        xml = xml.replace("<asset>", f"<asset>\n    {asset}", 1)
+        # the scene may be written outside the robot dir: absolutize meshdir
+        xml = re.sub(r'meshdir="([^"]*)"',
+                     lambda m: f'meshdir="{(robot_xml_path.parent / m.group(1)).resolve()}"',
+                     xml)
+        out_xml_path = Path(out_xml_path)
+        out_xml_path.write_text(xml)
+        np.savez(str(out_xml_path) + ".terrain.npz",
+                 data=((hf.T - zmin) / elev).astype(np.float32))
+        return out_xml_path
+
+
+def fill_mujoco_hfield(model, xml_path):
+    """Load the sidecar elevation into a compiled MjModel's hfield buffer."""
+    data = np.load(str(xml_path) + ".terrain.npz")["data"]
+    model.hfield_data[:] = data.reshape(-1)
+    return model

@@ -61,6 +61,11 @@ class EnvState:
     motion_len: jax.Array           # [N]
     motion_fail_ema: jax.Array      # [M] per-motion failure-rate EMA
 
+    # terrain curriculum (reference base_task.py:111-142; realized level
+    # up/down — the reference docstring's dormant _update_terrain_curriculum)
+    terrain_level: jax.Array        # [N] int32 difficulty row
+    origin_shift: jax.Array         # [N,3] added to every motion-ref fetch
+
     # episodic DR (reference legged_robot_base.py:599-635)
     kp_scale: jax.Array             # [N,nd]
     kd_scale: jax.Array             # [N,nd]
@@ -148,6 +153,17 @@ class MotionTrackingEnv:
             ))
             self.engine.set_terrain(self.terrain.height_field,
                                     self.terrain.cfg.horizontal_scale)
+            # per-env origins over the curriculum grid (reference
+            # base_task.py:117-129): column fixed per env, row = difficulty
+            self.terrain_origins = jnp.asarray(self.terrain.env_origins)
+            nc = self.terrain.cfg.num_cols
+            self.terrain_types = (jnp.arange(num_envs) * nc // num_envs
+                                  ).astype(jnp.int32)
+            self.terrain_curriculum = bool(ter.get("curriculum", False))
+            self.max_init_terrain_level = int(ter.get("max_init_terrain_level",
+                                                      self.terrain.cfg.num_rows - 1))
+            if not self.terrain_curriculum:
+                self.max_init_terrain_level = self.terrain.cfg.num_rows - 1
         else:
             self.terrain = None
 
@@ -426,7 +442,8 @@ class MotionTrackingEnv:
 
     def _motion_state_at(self, state: EnvState, step_offset=1):
         t = (state.episode_length + step_offset).astype(jnp.float32) * self.dt + state.motion_start_times
-        return get_motion_state(self.motion_lib.data, state.motion_ids, t), t
+        off = state.origin_shift if self.terrain is not None else None
+        return get_motion_state(self.motion_lib.data, state.motion_ids, t, offset=off), t
 
     def _compute_diffs(self, sim, mres, body_pos, body_quat, body_vel, body_ang_vel):
         """Reference-vs-sim difference tensors (reference motion_tracking.py:645-665;
@@ -447,7 +464,7 @@ class MotionTrackingEnv:
     # ------------------------------------------------------------------ reset
     def init_state(self, key) -> EnvState:
         N = self.num_envs
-        k1, k2, k3, krest = jax.random.split(key, 4)
+        k1, k2, k3, k4, krest = jax.random.split(key, 5)
         sim0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (N,) + x.shape),
                             self.engine.default_state())
         kp_s, kd_s, rfi, rao, delay, ddof = self._episodic_dr(k1, N)
@@ -475,6 +492,10 @@ class MotionTrackingEnv:
             motion_start_times=jnp.zeros((N,)),
             motion_len=jnp.broadcast_to(self.motion_lib.data.lengths[0], (N,)),
             motion_fail_ema=jnp.zeros((self.motion_lib.num_unique,), jnp.float32),
+            terrain_level=(jax.random.randint(
+                k4, (N,), 0, self.max_init_terrain_level + 1)
+                if self.terrain is not None else jnp.zeros((N,), jnp.int32)),
+            origin_shift=jnp.zeros((N, 3)),
             kp_scale=kp_s, kd_scale=kd_s, rfi_lim_scale=rfi, rao_scale=rao,
             default_dof_pos=ddof,
             push_counter=jnp.zeros((N,), jnp.int32),
@@ -554,7 +575,10 @@ class MotionTrackingEnv:
         # resample start times (uniform phase; reference sample_time)
         new_start = sample_time(self.motion_lib.data, ks[0], state.motion_ids)
         motion_start = jnp.where(mask, new_start, state.motion_start_times)
-        motion_len = self.motion_lib.data.lengths[state.motion_ids]
+        # masked: non-reset envs keep their episode's length even though their
+        # ids are unchanged today (guards the id/len update-order coupling)
+        motion_len = jnp.where(
+            mask, self.motion_lib.data.lengths[state.motion_ids], state.motion_len)
 
         # episode bufs
         episode_length = jnp.where(mask, 0, state.episode_length)
@@ -562,6 +586,32 @@ class MotionTrackingEnv:
         # fetch reference state at (epl+1)*dt + start for the NEW times
         t = (episode_length + 1).astype(jnp.float32) * self.dt + motion_start
         mres = get_motion_state(self.motion_lib.data, state.motion_ids, t)
+
+        # terrain curriculum + per-env origins (reference base_task.py:111-142
+        # assigns origins over the difficulty grid; the level up/down rule
+        # realizes the reference docstring's dormant _update_terrain_curriculum:
+        # near-complete episodes move a row up, early failures a row down)
+        terrain_level, origin_shift = state.terrain_level, state.origin_shift
+        if self.terrain is not None:
+            if self.terrain_curriculum:
+                horizon = jnp.minimum(state.motion_len, self.max_episode_length_s)
+                ratio = state.last_episode_length.astype(jnp.float32) * self.dt \
+                    / jnp.maximum(horizon, self.dt)
+                lvl = terrain_level + (ratio >= 0.8).astype(jnp.int32) \
+                    - (ratio < 0.4).astype(jnp.int32)
+                lvl = jnp.clip(lvl, 0, self.terrain.cfg.num_rows - 1)
+                # envs that never ran an episode (init reset) keep their level
+                terrain_level = jnp.where(
+                    mask & (state.last_episode_length > 0), lvl, terrain_level)
+            origin = self.terrain_origins[terrain_level, self.terrain_types]
+            shift = jnp.stack([origin[:, 0] - mres["root_pos"][:, 0],
+                               origin[:, 1] - mres["root_pos"][:, 1],
+                               origin[:, 2]], axis=-1)
+            origin_shift = jnp.where(mask[:, None], shift, origin_shift)
+            # translate the reference fetch onto the assigned tile; subsequent
+            # per-step fetches apply the same state.origin_shift
+            mres["root_pos"] = mres["root_pos"] + origin_shift
+            mres["rg_pos"] = mres["rg_pos"] + origin_shift[:, None, :]
 
         nl = float(ecfg.noise_to_initial_level)
         ins = ecfg.init_noise_scale
@@ -614,6 +664,8 @@ class MotionTrackingEnv:
             episode_length=episode_length,
             motion_start_times=motion_start,
             motion_len=motion_len,
+            terrain_level=terrain_level,
+            origin_shift=origin_shift,
             actions=w2(zero, state.actions),
             last_actions=w2(zero, state.last_actions),
             actions_after_delay=w2(zero, state.actions_after_delay),

@@ -126,3 +126,81 @@ def test_urci_deploy_groups(tmp_path):
                         meta_extra={"motion_file": str(cfg.robot.motion.motion_file)})
     urci.main([str(npz), "deploy=external", "steps=10"])
     urci.main([str(npz), "deploy=single", "steps=5"])
+
+
+def test_terrain_curriculum_reset():
+    """Per-env origins over the curriculum grid drive resets: spawns land on
+    assigned tiles, ref fetches carry the origin shift, levels move up/down
+    on episode performance (reference base_task.py:111-142)."""
+    import dataclasses
+
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu",
+         "terrain=locomotion"],
+        ["num_envs=4", "terrain.num_rows=3", "terrain.num_cols=2",
+         "terrain.border_size=2.0", "terrain.curriculum=true",
+         "terrain.max_init_terrain_level=1",
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 4, jax.random.PRNGKey(0))
+    state = env.init_state(jax.random.PRNGKey(1))
+    lvl = np.asarray(state.terrain_level)
+    assert ((0 <= lvl) & (lvl <= 1)).all()
+
+    # spawn xy must sit at the assigned tile origin (shift applied to reset)
+    origins = np.asarray(env.terrain_origins)[lvl, np.asarray(env.terrain_types)]
+    np.testing.assert_allclose(np.asarray(state.sim.root_pos[:, :2]),
+                               origins[:, :2], atol=1e-4)
+    # ...and the per-step ref fetch carries the same shift (dif ~ 0 at reset)
+    mres, _ = env._motion_state_at(state, 1)
+    np.testing.assert_allclose(np.asarray(mres["root_pos"][:, :2]),
+                               np.asarray(state.sim.root_pos[:, :2]), atol=1e-4)
+
+    # curriculum: near-complete episode -> level up; early failure -> down
+    n = int(0.95 * float(state.motion_len[0]) / env.dt)
+    state2 = dataclasses.replace(
+        state,
+        terrain_level=jnp.asarray([1, 1, 1, 1], jnp.int32),
+        last_episode_length=jnp.asarray([n, n, 3, 3], jnp.int32))
+    state2 = env._reset_envs(state2, jnp.ones(4, bool), jax.random.PRNGKey(2))
+    lvl2 = np.asarray(state2.terrain_level)
+    assert (lvl2[:2] == 2).all(), lvl2
+    assert (lvl2[2:] == 0).all(), lvl2
+
+    # a full jitted step on terrain stays finite
+    step = jax.jit(env.step)
+    st, obs, rew, done, info = step(state2, jnp.zeros((4, env.nd)))
+    assert bool(jnp.isfinite(obs["actor_obs"]).all())
+
+
+def test_mujoco_hfield_export(tmp_path):
+    """Exported hfield scene heights match the engine's bilinear lookup."""
+    import mujoco
+
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig, fill_mujoco_hfield
+    from pbhc_tpu.model.g1 import g1_asset_root
+
+    t = Terrain(TerrainConfig(num_rows=2, num_cols=2, border_size=2.0))
+    out = t.export_mujoco(g1_asset_root() / "g1_23dof_lock_wrist.xml",
+                          tmp_path / "scene.xml")
+    m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(str(out)), out)
+    hid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_HFIELD, "terrain")
+    assert hid >= 0
+    H, W = t.height_field.shape
+    data = m.hfield_data.reshape(m.hfield_nrow[hid], m.hfield_ncol[hid])
+    zmin = t.height_field.min()
+    elev = m.hfield_size[hid][2]
+    # mujoco data[row=y, col=x] must reproduce the engine's hf[x, y]
+    xs, ys = [5, H // 2, H - 6], [7, W // 2, W - 3]
+    for i in xs:
+        for j in ys:
+            got = data[j, i] * elev + zmin
+            assert abs(got - t.height_field[i, j]) < 2e-3
+    # compiled model simulates
+    d = mujoco.MjData(m)
+    mujoco.mj_step(m, d)
