@@ -41,8 +41,9 @@ def _load(ckpt_path, num_envs, overrides=()):
 
     env = resolve(cfg.env.target)(cfg, num_envs, jax.random.PRNGKey(0))
     algo = resolve(cfg.algo.target)(cfg, env)
-    with open(ckpt_path, "rb") as f:
-        payload = pickle.load(f)
+    from pbhc_tpu.utils.checkpoint import load_checkpoint_payload
+
+    payload = load_checkpoint_payload(ckpt_path)
     return env, algo, payload
 
 

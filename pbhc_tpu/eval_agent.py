@@ -133,8 +133,9 @@ def main(argv=None):
 
     env = MotionTrackingEnv(cfg, num_envs, jax.random.PRNGKey(0))
     algo = MHPPO(cfg, env)
-    with open(ckpt_path, "rb") as f:
-        payload = pickle.load(f)
+    from pbhc_tpu.utils.checkpoint import load_checkpoint_payload
+
+    payload = load_checkpoint_payload(ckpt_path)
     actor_params = payload["actor_params"]
 
     # --- export deploy policy

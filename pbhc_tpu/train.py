@@ -7,9 +7,10 @@ Usage:
         algo.config.num_learning_iterations=2000
 
 Composes YAML config groups (pbhc_tpu/config/), instantiates the env + MHPPO,
-and runs jitted train iterations with TensorBoard logging and pickle
+and runs jitted train iterations with TensorBoard logging and Orbax
 checkpointing (model + optimizer + LR + iteration, reference
-train_agent.py:102-104 semantics).
+train_agent.py:102-104 semantics; `auto_load_latest=true` resumes from the
+newest checkpoint of the same experiment, reference config/base.yaml:16).
 """
 from __future__ import annotations
 
@@ -96,15 +97,28 @@ def main(argv=None):
     algo = algo_cls(cfg, env, **algo_kwargs)
     ts = algo.init_train_state(k_algo)
 
-    # resume (reference ppo.py:145-173: restores params + optimizer + iter + LR)
-    if cfg.get("checkpoint"):
+    # resume (reference ppo.py:145-173: restores params + optimizer + iter + LR;
+    # auto_load_latest picks the newest ckpt of this experiment, base.yaml:16)
+    ckpt_path = cfg.get("checkpoint")
+    if not ckpt_path and bool(cfg.get("auto_load_latest", False)):
+        from pbhc_tpu.utils.checkpoint import latest_checkpoint
+
+        ckpt_path = latest_checkpoint(Path(cfg.base_dir) / cfg.project_name,
+                                      experiment_name=str(cfg.experiment_name))
+        if ckpt_path:
+            print(f"[train] auto_load_latest -> {ckpt_path}")
+    if ckpt_path:
         import dataclasses
-        import pickle
 
         import jax.numpy as jnp
 
-        with open(cfg.checkpoint, "rb") as f:
-            payload = pickle.load(f)
+        from pbhc_tpu.utils.checkpoint import load_checkpoint_payload
+
+        target = {k: jax.device_get(getattr(ts, k))
+                  for k in ("actor_params", "critic_params", "actor_opt",
+                            "critic_opt", "params", "opt", "hist_opt")
+                  if hasattr(ts, k)}
+        payload = load_checkpoint_payload(ckpt_path, target=target)
         updates = {k: payload[k] for k in payload
                    if hasattr(ts, k) and k not in ("iteration", "lr")}
         if not bool(cfg.algo.config.get("load_optimizer", True)):
@@ -113,7 +127,7 @@ def main(argv=None):
             ts, **updates,
             iteration=jnp.asarray(payload.get("iteration", 0), jnp.int32),
             lr=jnp.asarray(payload.get("lr", float(ts.lr))))
-        print(f"[train] resumed from {cfg.checkpoint} at iteration {payload.get('iteration', 0)}")
+        print(f"[train] resumed from {ckpt_path} at iteration {payload.get('iteration', 0)}")
 
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -209,13 +223,11 @@ def load_teacher(ckpt_path, teacher_cfg, env):
     student env was extended with; returns (apply_fn, params) acting
     deterministically with the priv-encoder latent.
     """
-    import pickle
-
     from pbhc_tpu.agents.mimic_networks import MimicActorCritic
     from pbhc_tpu.agents.ppo_mimic import build_mimic_net
+    from pbhc_tpu.utils.checkpoint import load_checkpoint_payload
 
-    with open(ckpt_path, "rb") as f:
-        payload = pickle.load(f)
+    payload = load_checkpoint_payload(ckpt_path)
     t_params = payload["params"] if "params" in payload else payload["actor_params"]
 
     # the history encoder is sized from the STUDENT env's prop_history width
@@ -247,18 +259,14 @@ def load_teacher(ckpt_path, teacher_cfg, env):
 
 
 def save_checkpoint(ckpt_dir, it, ts):
-    import pickle
+    from pbhc_tpu.utils.checkpoint import save_checkpoint_payload
 
-    ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     payload = {"iteration": int(ts.iteration), "lr": float(ts.lr)}
     for field in ("actor_params", "critic_params", "actor_opt", "critic_opt",
                   "params", "opt", "hist_opt"):
         if hasattr(ts, field):
             payload[field] = jax.device_get(getattr(ts, field))
-    path = ckpt_dir / f"model_{it}.pkl"
-    with open(path, "wb") as f:
-        pickle.dump(payload, f)
+    path = save_checkpoint_payload(Path(ckpt_dir) / f"model_{it}", payload)
     print(f"[train] saved {path}")
 
 

@@ -1,0 +1,55 @@
+"""Orbax checkpoint round-trip + auto_load_latest (reference
+train_agent.py:102-104, config/base.yaml:16)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+def test_roundtrip_optax_structure(tmp_path):
+    from pbhc_tpu.utils.checkpoint import (load_checkpoint_payload,
+                                           save_checkpoint_payload)
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros(2)}
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.inject_hyperparams(optax.adam)(learning_rate=1e-3))
+    opt = tx.init(params)
+    payload = {"iteration": 7, "lr": 2e-3,
+               "params": jax.device_get(params), "opt": jax.device_get(opt)}
+    p = save_checkpoint_payload(tmp_path / "model_7", payload)
+
+    r = load_checkpoint_payload(p, target={"params": params, "opt": opt})
+    assert r["iteration"] == 7 and r["lr"] == pytest.approx(2e-3)
+    np.testing.assert_array_equal(r["params"]["w"], np.ones((3, 2)))
+    # restored optimizer state must be structurally valid for tx.update
+    grads = jax.tree.map(jnp.zeros_like, params)
+    tx.update(grads, jax.tree.map(jnp.asarray, r["opt"]), params)
+
+
+def test_legacy_pickle_load(tmp_path):
+    import pickle
+
+    from pbhc_tpu.utils.checkpoint import load_checkpoint_payload
+
+    p = tmp_path / "model_3.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"iteration": 3, "params": {"w": np.ones(2)}}, f)
+    r = load_checkpoint_payload(p)
+    assert r["iteration"] == 3
+
+
+def test_latest_checkpoint(tmp_path):
+    from pbhc_tpu.utils.checkpoint import (latest_checkpoint,
+                                           save_checkpoint_payload)
+
+    for run, its in [("20260101-expA-task", [100, 300]),
+                     ("20260102-expB-task", [200])]:
+        for it in its:
+            save_checkpoint_payload(
+                tmp_path / run / "ckpt" / f"model_{it}", {"iteration": it})
+    assert latest_checkpoint(tmp_path).name == "model_300"
+    assert latest_checkpoint(tmp_path, experiment_name="expB").name == "model_200"
+    assert latest_checkpoint(tmp_path / "nothing" ) is None

@@ -14,7 +14,7 @@ python -m pbhc_tpu.train exp=general_tracking robot=g1_29dof \
     experiment_name=kb2_teacher seed=1 \
     algo.config.num_learning_iterations=$TI algo.config.save_interval=500
 
-TEACHER=$(ls -t logs/PBHC_TPU/*kb2_teacher*/ckpt/model_${TI}.pkl | head -1)
+TEACHER=$(ls -t logs/PBHC_TPU/*kb2_teacher*/ckpt/model_${TI}* | head -1)
 echo "teacher: $TEACHER"
 
 python -m pbhc_tpu.train exp=general_tracking robot=g1_29dof \

@@ -29,7 +29,7 @@ def main():
 
     from pbhc_tpu.eval_agent import main as eval_main
 
-    ckpts = sorted(run_dir.glob("ckpt/model_*.pkl"),
+    ckpts = sorted(run_dir.glob("ckpt/model_*"),
                    key=lambda p: int(p.stem.split("_")[1]))
     for ck in ckpts:
         it = int(ck.stem.split("_")[1])
