@@ -240,6 +240,47 @@ class LanesEngine:
             p_acc = jnp.concatenate([p_acc, p_new], axis=1)
         return p_acc[:, self._pos], R_acc[:, :, self._pos]
 
+    # ------------------------------------------------------------- derived
+    def derived_state_lanes(self, stT, states_env_first, contact_forces=None):
+        """Lanes-layout twin of Engine.derived_state: refresh the body
+        pose/velocity caches without leaving the env-last layout. The vmapped
+        env-first refresh at the end of the control step measured 9 ms at
+        4096 envs (a third of the whole physics cost); this form fuses with
+        the final substep."""
+        N = stT["q"].shape[-1]
+        p_w, R_w = self._fk(stT["q"], stT["rq"], stT["rp"])    # [3,B,N],[3,3,B,N]
+
+        # per-body joint twist: world axis (R_w @ local axis) * qd, zero row
+        # for jointless bodies (kinematics.fk_velocities semantics)
+        ax_b = jnp.concatenate([self._axis, jnp.zeros((3, 1))], axis=1)[
+            :, self._joint_slot]                               # [3,B]
+        qd_b = jnp.concatenate([stT["qd"], jnp.zeros((1, N))], axis=0)[
+            self._joint_slot]                                  # [B,N]
+        twist = _mv3(R_w, ax_b[:, :, None]) * qd_b[None]       # [3,B,N]
+
+        v_acc = stT["rv"][:, None]                             # [3,1,N]
+        w_acc = stT["rw"][:, None]
+        for lv, ppos in zip(self._levels, self._parent_pos):
+            wp = w_acc[:, ppos]
+            w_new = wp + twist[:, lv]
+            v_new = v_acc[:, ppos] + _cross3(wp, p_w[:, lv] - p_w[:, self._parent[lv]])
+            w_acc = jnp.concatenate([w_acc, w_new], axis=1)
+            v_acc = jnp.concatenate([v_acc, v_new], axis=1)
+        v, w = v_acc[:, self._pos], w_acc[:, self._pos]
+
+        # [row,col,B,N] -> [N,B,row,col]; [3,B,N] -> [N,B,3]
+        quat = rot.matrix_to_quat(jnp.transpose(R_w, (3, 2, 0, 1)))
+        out = dataclasses.replace(
+            states_env_first,
+            body_pos=jnp.transpose(p_w, (2, 1, 0)),
+            body_quat=quat,
+            body_lin_vel=jnp.transpose(v, (2, 1, 0)),
+            body_ang_vel=jnp.transpose(w, (2, 1, 0)),
+        )
+        if contact_forces is not None:
+            out = dataclasses.replace(out, contact_forces=contact_forces)
+        return out
+
     # --------------------------------------------------------- spatial algebra
     def _spatial_quantities(self, paramsT, p_w, R_w):
         """I_o [6,6,B,N], Phi_d [6,nd,N] about the root body origin
@@ -724,7 +765,5 @@ class LanesEngine:
         if self.P:
             cf = cf.at[:, self._contact_body[self._pair_i]].add(f[:, self.K:])
             cf = cf.at[:, self._contact_body[self._pair_j]].add(-f[:, self.K:])
-        out = view(stT)
-        out = jax.vmap(e.derived_state)(params, out)
-        out = dataclasses.replace(out, contact_forces=cf)
+        out = self.derived_state_lanes(stT, view(stT), contact_forces=cf)
         return out, taus[-1]
