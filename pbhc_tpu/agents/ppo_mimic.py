@@ -32,6 +32,26 @@ from pbhc_tpu.agents.networks import gaussian_entropy, gaussian_log_prob
 from pbhc_tpu.sim.engine import _pytree_dataclass
 
 
+def _graft_history_encoder(params, teacher_params):
+    """Copy the teacher's actor/history_encoder subtree into freshly-initialized
+    student params (reference ppo_mimic.py:176 — the student's deployable
+    latent path starts from the teacher's DAgger-trained encoder)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    tflat = traverse_util.flatten_dict(teacher_params)
+    n = 0
+    for k in flat:
+        if any("history_encoder" in str(p) for p in k):
+            assert flat[k].shape == tflat[k].shape, (
+                f"teacher/student history_encoder shape mismatch at {k}: "
+                f"{tflat[k].shape} vs {flat[k].shape}")
+            flat[k] = jnp.asarray(tflat[k], flat[k].dtype)
+            n += 1
+    assert n > 0, "no history_encoder params found to graft"
+    return traverse_util.unflatten_dict(flat)
+
+
 def build_mimic_net(algo_cfg, num_act, future_dim, future_steps,
                     history_dim, history_steps) -> MimicActorCritic:
     """Construct the actor-critic net from an algo config subtree — shared by
@@ -91,7 +111,7 @@ class PPOMimic:
         self.dagger_update_freq = int(c.get("dagger_update_freq", 20))
         self.dagger_only = bool(c.get("dagger_only", False))
         self.priv_reg_schedule = [float(x) for x in c.priv_reg_coef_schedual]
-        self.num_act = env.nd
+        self.num_act = int(getattr(env, "num_actions", env.nd))
         self.teacher = teacher  # (apply_fn, params) for distill mode
 
         obs_cfg = config.obs
@@ -135,6 +155,12 @@ class PPOMimic:
         obs, hist = self.env._compute_observations(env_state, k_r)
         env_state = dataclasses.replace(env_state, history=hist)
         params = self.net.init(k_net, self._dummy_obs())
+        if self.teacher is not None and self.dagger_only:
+            # distill init: the student inherits the teacher's trained history
+            # encoder, which then stays FROZEN during BC (reference
+            # ppo_mimic.py:176-178 load_state_dict + requires_grad_(False));
+            # the grad mask lives in distill_iteration
+            params = _graft_history_encoder(params, self.teacher[1])
         return MimicTrainState(
             params=params,
             opt=self.tx.init(params),
@@ -152,7 +178,13 @@ class PPOMimic:
             env_state, obs, rng = carry
             rng, k_act = jax.random.split(rng)
             mean, std = self.net.apply(ts.params, obs, hist_encoding, method=MimicActorCritic.act)
-            actions = mean + std * jax.random.normal(k_act, mean.shape)
+            if self.dagger_only:
+                # distill rollouts are deterministic: the student drives the
+                # env with its mean action (reference ppo_mimic.py:347-351
+                # act_inference in the dagger_only branch)
+                actions = mean
+            else:
+                actions = mean + std * jax.random.normal(k_act, mean.shape)
             logp = gaussian_log_prob(mean, std, actions)
             values = self.net.apply(ts.params, obs, method=MimicActorCritic.evaluate)
             data = {k: obs[k] for k in self.OBS_KEYS}
@@ -351,6 +383,12 @@ class PPOMimic:
                                        axis=-1).mean()
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            # the inherited history encoder stays frozen during BC (reference
+            # ppo_mimic.py:177-178 requires_grad_(False)); everything else moves
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.zeros_like(g)
+                if any("history_encoder" in str(k) for k in path) else g,
+                grads)
             updates, opt = self.tx.update(grads, opt, params)
             params = optax.apply_updates(params, updates)
             return (params, opt), loss

@@ -251,7 +251,6 @@ class RealRobotController:
         self.t = 0.0
         # first-policy-step compensation offsets (reference deploy_real.py:654-662)
         self._init_dof_offset = None
-        self._init_rp_offset = None
         self.obs_log = []
 
         from pbhc_tpu.model.g1 import load_g1_motion_model

@@ -221,7 +221,10 @@ def load_teacher(ckpt_path, teacher_cfg, env):
     The teacher net is built from the TEACHER's own config (its obs layout
     differs from the student's) and fed the teacher-side obs groups the
     student env was extended with; returns (apply_fn, params) acting
-    deterministically with the priv-encoder latent.
+    deterministically through the teacher's own HISTORY latent (reference
+    ppo_mimic.py:346,590-591: teacher_actor_act_step(hist_encoding=True) —
+    the teacher's hist encoder was trained by its learn_RL DAgger interleave
+    and is also what the student inherits, see PPOMimic.init_train_state).
     """
     from pbhc_tpu.agents.mimic_networks import MimicActorCritic
     from pbhc_tpu.agents.ppo_mimic import build_mimic_net
@@ -252,7 +255,7 @@ def load_teacher(ckpt_path, teacher_cfg, env):
             "priv_obs": obs["priv_obs"],
             "prop_history": obs["prop_history"],
         }
-        mean, _ = net.apply(params, tobs, False, method=MimicActorCritic.act)
+        mean, _ = net.apply(params, tobs, True, method=MimicActorCritic.act)
         return mean
 
     return apply_fn, t_params

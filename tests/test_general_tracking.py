@@ -196,11 +196,27 @@ def test_distill_mode(env):
     algo = PPOMimic(cfg, env, teacher=(teacher_apply, t_params))
     algo.dagger_only = True
     ts = algo.init_train_state(jax.random.PRNGKey(6))
+
+    # the student inherits the teacher's history encoder at init (reference
+    # ppo_mimic.py:176) ...
+    import flax
+
+    def hist_subtree(p):
+        return {k: v for k, v in flax.traverse_util.flatten_dict(jax.device_get(p)).items()
+                if any("history_encoder" in str(x) for x in k)}
+
+    t_hist = hist_subtree(t_params)
+    s_hist = hist_subtree(ts.params)
+    assert t_hist and all(np.array_equal(s_hist[k], t_hist[k]) for k in t_hist)
+
     ts, log = algo.train_iteration(ts)
     bc0 = float(log["Loss/bc"])
     for _ in range(3):
         ts, log = algo.train_iteration(ts)
     assert float(log["Loss/bc"]) < bc0  # student moves toward the teacher
+    # ... and it stays FROZEN through BC updates (ppo_mimic.py:177-178)
+    s_hist_after = hist_subtree(ts.params)
+    assert all(np.array_equal(s_hist_after[k], t_hist[k]) for k in t_hist)
 
 
 def test_distill_teacher_obs_remap(multi_motion, tmp_path):
