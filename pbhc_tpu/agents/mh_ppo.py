@@ -58,7 +58,7 @@ class MHPPO:
         self.num_steps = int(c.num_steps_per_env)
         self.num_epochs = int(c.num_learning_epochs)
         self.num_minibatches = int(c.num_mini_batches)
-        self.num_act = env.nd
+        self.num_act = int(getattr(env, "num_actions", env.nd))
         self.num_rew = env.num_rew_fn
         # rollout-storage dtype for the big obs arrays; bfloat16 halves the
         # update phase's HBM traffic (losses still run in f32)

@@ -112,6 +112,13 @@ class MotionTrackingEnv:
         extend_cfg = [dict(e) for e in rcfg.motion.extend_config]
         self.motion_model = motion_model or load_g1_motion_model(robot_type, extend_cfg)
 
+        # per-joint armature override (reference g1_23dof_general.yaml
+        # dof_armature: the sysID'd values replace the MJCF's)
+        arm_cfg = rcfg.get("asset", {}).get("dof_armature")
+        if arm_cfg:
+            arm = np.asarray([float(arm_cfg[n]) for n in self.sim_model.dof_names])
+            self.sim_model = dataclasses.replace(self.sim_model, dof_armature=arm)
+
         sim_cfg = config.simulator.config
         self.decimation = int(sim_cfg.sim.control_decimation)
         self.sim_dt = 1.0 / float(sim_cfg.sim.fps)
@@ -231,6 +238,17 @@ class MotionTrackingEnv:
         self.dof_pos_limits = jnp.asarray(self.sim_model.dof_limits, dtype=jnp.float32)
         self.action_clip = float(rcfg.control.action_clip_value)
         self.clip_obs = float(config.get_path("normalization.clip_observations", 100.0))
+
+        # leg-only actuation (reference robot/g1/g1_only_leg.yaml:9 +
+        # motion_tracking.py:757-758): the policy drives the first
+        # `actions_dim` dofs; the rest PD-track the reference motion pose.
+        # (The reference's torch.cat there is dormant/mis-bracketed; this is
+        # its documented intent.)
+        self.num_actions = int(rcfg.get("actions_dim", self.nd))
+        self.only_track_leg = bool(rcfg.get("only_track_leg", False))
+        if not self.only_track_leg:
+            assert self.num_actions == self.nd, \
+                f"actions_dim={self.num_actions} != num_dof={self.nd} requires only_track_leg"
 
         # ---- motion library
         self.motion_lib = MotionLib(rcfg.motion.motion_file, self.motion_model, num_envs, self.dt,
@@ -693,6 +711,15 @@ class MotionTrackingEnv:
         key, k_step, k_push, k_reset, k_obs, k_term = jax.random.split(state.rng, 6)
 
         # ---- pre-physics (reference legged_robot_base.py:267-285)
+        if self.only_track_leg:
+            # expand [N, actions_dim] policy actions to the full dof vector:
+            # non-policy dofs get the action whose PD target equals the
+            # reference pose (reference motion_tracking.py:757-758 intent)
+            mres_leg, _ = self._motion_state_at(state, 1)
+            na = self.num_actions
+            rest = (mres_leg["dof_pos"][:, na:] - state.default_dof_pos[:, na:]) \
+                / self.action_scales[na:]
+            actions = jnp.concatenate([actions, rest], axis=-1)
         actions = jnp.clip(actions, -self.action_clip, self.action_clip)
         if self.dr.get("randomize_ctrl_delay", False):
             queue = jnp.concatenate([actions[:, None], state.action_queue[:, :-1]], axis=1)
@@ -1291,6 +1318,8 @@ class MotionTrackingEnv:
             "dof_vel_noise": sim.dof_vel,
             "dof_pos": sim.dof_pos - state.default_dof_pos,
             "dof_vel": sim.dof_vel,
+            # full dof-width action vector even under only_track_leg (the obs
+            # dim is ${robot.dof_obs_size}, reference obs/motion_tracking/main.yaml:115)
             "actions": state.actions,
             "ref_motion_phase": phase,
             "dif_local_rigid_body_pos": dif_local.reshape(N, -1),

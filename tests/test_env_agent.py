@@ -265,3 +265,70 @@ def test_mppi_snapshot_roundtrip(env):
     s1b, o1b, r1b, d1b, _ = step(restored, a)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r1b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1.sim.dof_pos), np.asarray(s1b.sim.dof_pos), atol=1e-6)
+
+
+def test_robot_variant_g1_23dof_general():
+    """The sysID'd "general" variant: 9 key bodies, per-joint action scales,
+    per-joint armature override (reference robot/g1/g1_23dof_general.yaml)."""
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_23dof_general", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=2", f"robot.motion.motion_file={MOTION}"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    assert len(cfg.robot.key_bodies) == 9
+    # per-joint action scale: hip_roll differs from elbow
+    a = np.asarray(env.action_scales)
+    assert not np.allclose(a.min(), a.max())
+    # armature override: hip_roll (0.0251) vs elbow (0.0036), not the MJCF's
+    arm = np.asarray(env.sim_model.dof_armature)
+    names = env.sim_model.dof_names
+    assert abs(arm[names.index("left_hip_roll_joint")] - 0.025101925) < 1e-9
+    assert abs(arm[names.index("left_elbow_joint")] - 0.003609725) < 1e-9
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    state, obs, rew, done, info = jax.jit(env.step)(state, jnp.zeros((2, 23)))
+    assert bool(jnp.isfinite(obs["actor_obs"]).all())
+
+
+def test_robot_variant_g1_only_leg():
+    """Leg-only actuation: 12-dim policy actions; waist/arm dofs PD-track the
+    reference motion (reference robot/g1/g1_only_leg.yaml only_track_leg +
+    motion_tracking.py:757-758)."""
+    from pbhc_tpu.agents.mh_ppo import MHPPO
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        CFG_DIR,
+        ["exp=motion_tracking", "robot=g1_only_leg", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
+        ["num_envs=2", f"robot.motion.motion_file={MOTION}",
+         "algo.config.num_steps_per_env=2", "algo.config.num_mini_batches=1",
+         "algo.config.num_learning_epochs=1"],
+    )
+    env = MotionTrackingEnv(cfg, 2, jax.random.PRNGKey(0))
+    assert env.num_actions == 12 and env.only_track_leg
+    state = env.init_state(jax.random.PRNGKey(1))
+    obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
+    state = dataclasses.replace(state, history=hist)
+    step = jax.jit(env.step)
+    state, obs, rew, done, info = step(state, jnp.zeros((2, 12)))
+    # the expanded action vector PD-targets the reference pose on upper dofs:
+    # stored actions are full dof width and the upper block is non-trivial
+    assert state.actions.shape == (2, 23)
+    assert bool(jnp.isfinite(obs["actor_obs"]).all())
+    # upper-dof targets = ref pose: action*scale+default == ref dof pos
+    tgt = np.asarray(state.actions * env.action_scales + state.default_dof_pos)
+    mres, _ = env._motion_state_at(state, 0)
+    # (offset differs by one step; just require the upper block to be close)
+    assert np.abs(tgt[:, 12:] - np.asarray(mres["dof_pos"])[:, 12:]).max() < 0.2
+    # the agent trains with 12-dim actions end to end
+    algo = MHPPO(cfg, env)
+    assert algo.num_act == 12
+    ts = algo.init_train_state(jax.random.PRNGKey(3))
+    ts, log = algo.train_iteration(ts)
+    assert np.isfinite(float(jax.device_get(log["Train/mean_step_reward"])))

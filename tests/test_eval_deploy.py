@@ -159,4 +159,46 @@ def test_eval_callbacks(tmp_path, ref_motion_path):
     np.testing.assert_allclose(traj["action"], 0.05, atol=1e-6)
     # both logging callbacks fired each step
     assert len(dash.rows) == 2 * len(traj["action"])
-    assert any("contact_fz_total" in r for r in dash.rows)
+    # analysis channels carry real per-step values (reference
+    # analysis_plot_motion_tracking.py:25-313 dof/torque/root streams)
+    plot_rows = [r for r in dash.rows if "root_z" in r]
+    assert len(plot_rows) == len(traj["action"])
+    for ch in ("root_z", "dof_pos_0", "action_0", "torque_norm"):
+        vals = [r[ch] for r in plot_rows]
+        assert all(np.isfinite(v) for v in vals), ch
+    assert all(0.0 < r["root_z"] < 2.0 for r in plot_rows)          # standing-ish
+    np.testing.assert_allclose([r["action_0"] for r in plot_rows], 0.05, atol=1e-6)
+    # force channels: finite, and fz roughly supports the ~35 kg robot when in
+    # contact (sum over bodies, single env)
+    force_rows = [r for r in dash.rows if "contact_fz_total" in r]
+    assert len(force_rows) == len(traj["action"])
+    assert all(np.isfinite(r["contact_fz_total"]) and r["contact_f_max"] >= 0.0
+               for r in force_rows)
+    assert max(r["contact_fz_total"] for r in force_rows) > 50.0
+
+
+def test_dashboard_http_roundtrip():
+    """DashboardLogger serves the logged channels over HTTP (reference
+    analysis_plot_motion_tracking.py Flask `/data` + page endpoints)."""
+    import json
+    import urllib.request
+
+    from pbhc_tpu.eval.dashboard import DashboardLogger
+
+    dash = DashboardLogger(port=18973)
+    for t in range(5):
+        dash.log_step({"rew/tracking": 0.1 * t, "err/joint": 1.0 - 0.1 * t})
+    url = dash.start()
+    try:
+        data = json.loads(urllib.request.urlopen(url + "/data", timeout=5).read())
+        assert data["rew/tracking"] == [0.0, 0.1, 0.2, 0.30000000000000004, 0.4]
+        assert len(data["err/joint"]) == 5
+        page = urllib.request.urlopen(url, timeout=5).read().decode()
+        assert "canvas" in page and "/data" in page
+        # history ring: capped at `history` samples
+        small = DashboardLogger(port=18974, history=3)
+        for t in range(10):
+            small.log_step({"x": float(t)})
+        assert small.snapshot()["x"] == [7.0, 8.0, 9.0]
+    finally:
+        dash.stop()
