@@ -194,7 +194,9 @@ def parse_cli(argv):
         key = a.split("=", 1)[0]
         if "." in key or key in {"num_envs", "seed", "checkpoint", "experiment_name",
                                  "project_name", "headless", "base_dir", "multichip",
-                                 "use_wandb", "save_motion", "log_task_name"}:
+                                 "use_wandb", "save_motion", "log_task_name",
+                                 "auto_load_latest", "total_iterations",
+                                 "watchdog_timeout_s"}:
             ovs.append(a)
         else:
             sels.append(a)

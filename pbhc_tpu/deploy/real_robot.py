@@ -350,3 +350,64 @@ class RealRobotController:
             dt = time.time() - t0
             if dt < self.ctrl_dt:
                 time.sleep(self.ctrl_dt - dt)
+
+
+def main(argv=None):
+    """Real-robot entry (reference deploy_real.py:1052-1102):
+
+        python -m pbhc_tpu.deploy.real_robot <net_interface> <config.yaml>
+
+    Zero torque until START, blend to the default pose, hold until A, then
+    run the policy at control_dt; SELECT (or Ctrl-C) drops to damping mode.
+    Config schema mirrors reference deploy_real/configs/g1_23*.yaml — see
+    pbhc_tpu/config/deploy/real_g1_23{,_student}.yaml.
+    """
+    import sys as _sys
+
+    import yaml as _yaml
+
+    argv = argv if argv is not None else _sys.argv[1:]
+    if len(argv) != 2:
+        print(main.__doc__)
+        return 1
+    net_if, cfg_path = argv
+    cfg = _yaml.safe_load(open(cfg_path))
+
+    dm = G1DeployMap()
+    if "leg_joint2motor_idx" in cfg:  # motor maps overridable per config
+        dm = G1DeployMap(
+            policy2motor=tuple(cfg["leg_joint2motor_idx"]),
+            held_motor_idx=tuple(cfg.get("arm_waist_joint2motor_idx", ())),
+            held_target=tuple(cfg.get("arm_waist_target", [0.0] * 6)),
+            held_kp=tuple(cfg.get("arm_waist_kps", [20.0] * 6)),
+            held_kd=tuple(cfg.get("arm_waist_kds", [1.0] * 6)))
+    transport = UnitreeDDSTransport(
+        net_if, dm,
+        lowcmd_topic=cfg.get("lowcmd_topic", "rt/lowcmd"),
+        lowstate_topic=cfg.get("lowstate_topic", "rt/lowstate"))
+    ctl = RealRobotController(
+        cfg["policy_path"], transport, motion_file=cfg.get("motion_file"),
+        ctrl_dt=float(cfg.get("control_dt", 0.02)), realtime=True)
+
+    print("zero torque; press START to move to the default pose...")
+    try:
+        while True:
+            ctl.step()
+            btn = transport.remote.button
+            if ctl.mode == ctl.ZERO_TORQUE and btn[KeyMap.start]:
+                ctl.request_policy()
+                print("moving to default pose; press A to run the policy...")
+            elif ctl.mode == ctl.DEFAULT_POSE and btn[KeyMap.A]:
+                ctl.request_policy()
+                print("policy running; SELECT for damping exit")
+            if btn[KeyMap.select]:
+                break
+    except KeyboardInterrupt:
+        pass
+    transport.send_damping()
+    print("damping mode; exit")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

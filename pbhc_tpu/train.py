@@ -29,6 +29,45 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+class _Watchdog:
+    """Hung-device failsafe (SURVEY §5.3 failure detection).
+
+    The remote-TPU (axon) tunnel can wedge mid-run: the main thread blocks
+    forever inside an RPC with no error and the run silently stops making
+    progress (observed twice on 2026-08-17, ~30-50 min into healthy runs).
+    A daemon thread watches a heartbeat the train loop beats at every log
+    sync; if it goes stale the process hard-exits with code 3 so a wrapper
+    (tools/train_retry.sh) can resume from the last checkpoint via
+    auto_load_latest. Armed only after the first successful log sync —
+    fresh compiles legitimately take >10 min.
+    """
+
+    EXIT_CODE = 3
+
+    def __init__(self, timeout_s=300.0):
+        import threading
+
+        self.timeout_s = float(timeout_s)
+        self._last = None  # armed on first beat
+        self._t = threading.Thread(target=self._watch, daemon=True)
+        self._t.start()
+
+    def beat(self):
+        self._last = time.time()
+
+    def _watch(self):
+        import os
+
+        while True:
+            time.sleep(10.0)
+            if self._last is not None and time.time() - self._last > self.timeout_s:
+                print(f"[watchdog] no progress for {self.timeout_s:.0f}s — "
+                      "device wedged; exiting 3 for resume", flush=True)
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(self.EXIT_CODE)
+
+
 class _Tee:
     """Mirror a stream into a per-run logfile (reference utils/logging.py)."""
 
@@ -164,11 +203,19 @@ def main(argv=None):
         print(f"[train] sharded over {jax.device_count()} devices (env-axis DP)")
 
     num_iters = int(cfg.algo.config.num_learning_iterations)
+    # `total_iterations` makes the target cumulative across resumes: run only
+    # the remainder (the retry wrapper tools/train_retry.sh leans on this to
+    # survive wedged-device exits; see _Watchdog)
+    total_iters = cfg.get("total_iterations")
+    if total_iters:
+        num_iters = max(0, int(total_iters) - int(jax.device_get(ts.iteration)))
+        print(f"[train] total_iterations={total_iters}: {num_iters} remaining")
     save_interval = int(cfg.algo.config.save_interval)
     log_interval = max(1, int(cfg.algo.config.get("logging_interval", 25)) // 5)
     steps_per_iter = env.num_envs * algo.num_steps
 
     ckpt_dir = exp_dir / "ckpt"
+    watchdog = _Watchdog(float(cfg.get("watchdog_timeout_s", 300.0)))
     t_start = time.time()
     last_log_t, last_log_it = t_start, 0
     for it in range(num_iters):
@@ -191,6 +238,7 @@ def main(argv=None):
             window_iters = 1 if it == 0 else (it + 1 - last_log_it)
             fps = steps_per_iter * window_iters / (now - last_log_t)
             last_log_t, last_log_it = now, it + 1
+            watchdog.beat()   # a completed device sync = real progress
             print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
                   f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
                   f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
@@ -199,11 +247,13 @@ def main(argv=None):
                     writer.add_scalar(k, float(v), it + 1)
                 writer.add_scalar("Perf/total_fps", fps, it + 1)
         if (it + 1) % save_interval == 0 or it + 1 == num_iters:
-            save_checkpoint(ckpt_dir, it + 1, ts)
+            # cumulative name: keeps model_<it> monotonic across resumed runs
+            # so auto_load_latest picks the true newest
+            save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
     if wandb_run is not None:
         wandb_run.finish()
     print(f"[train] done in {time.time()-t_start:.0f}s")
-    save_checkpoint(ckpt_dir, num_iters, ts)
+    save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
     return ts
 
 
