@@ -52,6 +52,7 @@ def export_policy(actor_params, env, path, meta_extra=None, actor=None):
         "action_clip": float(env.action_clip),
         "clip_obs": float(env.clip_obs),
         "dt": float(env.dt),
+        "robot_type": str(env.config.robot.robot_type),
     }
     if meta_extra:
         meta.update(meta_extra)
@@ -95,6 +96,7 @@ def student_meta(env, meta_extra=None):
         "action_clip": float(env.action_clip),
         "clip_obs": float(env.clip_obs),
         "dt": float(env.dt),
+        "robot_type": str(env.config.robot.robot_type),
     }
     if meta_extra:
         meta.update(meta_extra)

@@ -74,7 +74,7 @@ class ObsBuilder:
 class MujocoDeployRobot:
     """50 Hz policy / 500 Hz MuJoCo PD loop (reference mujoco.py:212-528)."""
 
-    def __init__(self, policy_path, motion_file, xml_path=None, robot_type="g1_23dof_lock_wrist",
+    def __init__(self, policy_path, motion_file, xml_path=None, robot_type=None,
                  sim_fps=500, decimation=10, terrain=None):
         import mujoco
 
@@ -85,6 +85,7 @@ class MujocoDeployRobot:
         # paths load the npz format
         self.policy = policy_path if hasattr(policy_path, "meta") else NumpyPolicy(policy_path)
         self.meta = self.policy.meta
+        robot_type = robot_type or self.meta.get("robot_type", "g1_23dof_lock_wrist")
         self.obs_builder = ObsBuilder(self.meta)
 
         xml_path = xml_path or str(g1_asset_root() / f"{robot_type}.xml")
@@ -101,6 +102,17 @@ class MujocoDeployRobot:
         else:
             self.m = mujoco.MjModel.from_xml_path(xml_path)
         self.m.opt.timestep = 1.0 / sim_fps
+        # dynamics parity with the training engine: the official
+        # g1_29dof_rev_1_0.xml ships no joint armature/damping and its
+        # ~1e-5 kgm^2 wrist links are unstable in any fixed-step integrator;
+        # load_g1_sim_model floors them (model/g1.py), so the sim2sim twin
+        # must too or the policy meets different dynamics than it trained on
+        import numpy as _np
+
+        if float(_np.max(self.m.dof_armature[6:])) == 0.0:
+            self.m.dof_armature[6:] = 0.01
+        if float(_np.max(self.m.dof_damping[6:])) == 0.0:
+            self.m.dof_damping[6:] = 0.001
         self.d = mujoco.MjData(self.m)
         self._mujoco = mujoco
         self.decimation = decimation

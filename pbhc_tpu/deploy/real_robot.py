@@ -257,7 +257,10 @@ class RealRobotController:
         from pbhc_tpu.motion.motion_lib import MotionLib
 
         mf = motion_file or self.meta.get("motion_file")
-        self.motion = MotionLib(mf, load_g1_motion_model(), 1, ctrl_dt) if mf else None
+        # the motion model must match the policy's robot (29-dof students
+        # index extended key bodies beyond the 23-dof body count)
+        rt = self.meta.get("robot_type", "g1_23dof_lock_wrist")
+        self.motion = MotionLib(mf, load_g1_motion_model(rt), 1, ctrl_dt) if mf else None
         if self.is_student:
             from pbhc_tpu.deploy.student_obs import MotionHost, StudentObsBuilder
 
