@@ -110,11 +110,44 @@ class MotionLib:
         centers = p_w[0, bidx] + sRot.from_quat(q_w[0, bidx]).apply(offs)
         return float((centers[:, 2] - rad).min())
 
+    # ----------------------------------------------------------------- cache
+    def _cache_path(self, motion_file):
+        """Post-FK flat-array cache: the per-frame FK of a multi-clip library
+        costs minutes per process launch; keyed on (file identity, model
+        skeleton, fix_height). Disable with PBHC_MOTION_CACHE=0."""
+        import hashlib
+        import os
+        from pathlib import Path
+
+        root = os.environ.get("PBHC_MOTION_CACHE", "/tmp/pbhc_motion_cache")
+        if root in ("0", ""):
+            return None
+        try:
+            st = os.stat(motion_file)
+        except OSError:
+            return None
+        m = self.model
+        sig = repr((os.path.abspath(motion_file), st.st_size, int(st.st_mtime),
+                    self.fix_height, tuple(m.body_names), tuple(m.dof_names),
+                    len(np.asarray(m.contact_body))))
+        h = hashlib.sha1(sig.encode()).hexdigest()[:16]
+        d = Path(root)
+        d.mkdir(parents=True, exist_ok=True)
+        return d / f"mlib_{h}.npz"
+
     # ------------------------------------------------------------------ load
     def _load(self, motion_file):
         raw = joblib.load(motion_file)
         self._keys = list(raw.keys())
         self.num_unique = len(self._keys)
+
+        cache = self._cache_path(motion_file)
+        fields = [f.name for f in dataclasses.fields(MotionData)]
+        if cache is not None and cache.exists():
+            z = np.load(cache)
+            self.has_contact_mask = bool(z["has_contact_mask"])
+            self.data = MotionData(**{f: jnp.asarray(z[f]) for f in fields})
+            return
 
         gts, grs, gvs, gavs, dofs, dvels, cmasks = [], [], [], [], [], [], []
         lengths, fps_l, nframes = [], [], []
@@ -175,6 +208,11 @@ class MotionLib:
             length_starts=jnp.asarray(starts),
             sampling_prob=jnp.full((self.num_unique,), 1.0 / self.num_unique, dtype=jnp.float32),
         )
+        if cache is not None:
+            tmp = cache.with_suffix(".tmp.npz")
+            np.savez(tmp, has_contact_mask=self.has_contact_mask,
+                     **{f: np.asarray(getattr(self.data, f)) for f in fields})
+            tmp.replace(cache)   # atomic: concurrent loaders see whole files
 
     # -------------------------------------------------------------- sampling
     def sample_motion_ids(self, key, n=None, random_sample=True, start_idx=0):

@@ -55,11 +55,20 @@ class _Watchdog:
     def beat(self):
         self._last = time.time()
 
+    def stop(self):
+        """Disarm permanently — REQUIRED when main() returns inside a larger
+        process (tests import train_main; a live watchdog would os._exit the
+        host process minutes after the training call finished)."""
+        self._stopped = True
+        self._last = None
+
     def _watch(self):
         import os
 
-        while True:
+        while not getattr(self, "_stopped", False):
             time.sleep(10.0)
+            if getattr(self, "_stopped", False):
+                return
             if self._last is not None and time.time() - self._last > self.timeout_s:
                 print(f"[watchdog] no progress for {self.timeout_s:.0f}s — "
                       "device wedged; exiting 3 for resume", flush=True)
@@ -218,38 +227,41 @@ def main(argv=None):
     watchdog = _Watchdog(float(cfg.get("watchdog_timeout_s", 300.0)))
     t_start = time.time()
     last_log_t, last_log_it = t_start, 0
-    for it in range(num_iters):
-        t0 = time.time()
-        if it == 2:
-            # exclude compile time (iterations 0 AND 1 trace: the initial
-            # state's avals differ from the stepped state's) from fps windows
-            last_log_t, last_log_it = t0, 2
-        ts, log = algo.train_iteration(ts)
-        if it == 0:
-            jax.block_until_ready(jax.tree.leaves(ts)[0])
-            print(f"[train] first iteration (incl. compile): {time.time()-t0:.1f}s")
-        if (it + 1) % log_interval == 0 or it == 0:
-            log = jax.device_get(log)
-            jax.block_until_ready(jax.tree.leaves(ts)[0])
-            # iterations dispatch asynchronously: this sync waits for the
-            # WHOLE window since the last log, so fps must be window-based
-            # (timing just the last iteration underreports by log_interval x)
-            now = time.time()
-            window_iters = 1 if it == 0 else (it + 1 - last_log_it)
-            fps = steps_per_iter * window_iters / (now - last_log_t)
-            last_log_t, last_log_it = now, it + 1
-            watchdog.beat()   # a completed device sync = real progress
-            print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
-                  f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
-                  f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
-            if writer:
-                for k, v in log.items():
-                    writer.add_scalar(k, float(v), it + 1)
-                writer.add_scalar("Perf/total_fps", fps, it + 1)
-        if (it + 1) % save_interval == 0 or it + 1 == num_iters:
-            # cumulative name: keeps model_<it> monotonic across resumed runs
-            # so auto_load_latest picks the true newest
-            save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
+    try:
+        for it in range(num_iters):
+            t0 = time.time()
+            if it == 2:
+                # exclude compile time (iterations 0 AND 1 trace: the initial
+                # state's avals differ from the stepped state's) from fps windows
+                last_log_t, last_log_it = t0, 2
+            ts, log = algo.train_iteration(ts)
+            if it == 0:
+                jax.block_until_ready(jax.tree.leaves(ts)[0])
+                print(f"[train] first iteration (incl. compile): {time.time()-t0:.1f}s")
+            if (it + 1) % log_interval == 0 or it == 0:
+                log = jax.device_get(log)
+                jax.block_until_ready(jax.tree.leaves(ts)[0])
+                # iterations dispatch asynchronously: this sync waits for the
+                # WHOLE window since the last log, so fps must be window-based
+                # (timing just the last iteration underreports by log_interval x)
+                now = time.time()
+                window_iters = 1 if it == 0 else (it + 1 - last_log_it)
+                fps = steps_per_iter * window_iters / (now - last_log_t)
+                last_log_t, last_log_it = now, it + 1
+                watchdog.beat()   # a completed device sync = real progress
+                print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
+                      f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
+                      f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
+                if writer:
+                    for k, v in log.items():
+                        writer.add_scalar(k, float(v), it + 1)
+                    writer.add_scalar("Perf/total_fps", fps, it + 1)
+            if (it + 1) % save_interval == 0 or it + 1 == num_iters:
+                # cumulative name: keeps model_<it> monotonic across resumed
+                # runs so auto_load_latest picks the true newest
+                save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
+    finally:
+        watchdog.stop()
     if wandb_run is not None:
         wandb_run.finish()
     print(f"[train] done in {time.time()-t_start:.0f}s")

@@ -10,6 +10,11 @@ must both override the env var and clear any already-initialized backends.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon remote-compile service produces CPU AOT executables with the
+# REMOTE machine's feature set (+prefer-no-gather etc.); loading them on this
+# host SIGILLs/segfaults mid-suite. Never remote-compile in tests, and keep a
+# CPU-only cache dir so entries from TPU-attached processes are never loaded.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
@@ -23,7 +28,7 @@ except Exception:
     import jax._src.xla_bridge as xb  # pragma: no cover
 
     xb._clear_backends()
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402

@@ -162,3 +162,35 @@ def test_fix_height_modes(ref_motion_path):
                 np.asarray(ml.data.gts[:1]), np.asarray(ml.data.grs[:1]))
             assert abs(diff) < 1e-5, diff
     assert z["no_fix"] != z["full_fix"]
+
+
+def test_motion_lib_cache_roundtrip(tmp_path, monkeypatch):
+    """Second load of the same (file, model, fix_height) hits the post-FK
+    cache and reproduces the flat arrays exactly; a different fix_height
+    misses it."""
+    import dataclasses
+    import os
+
+    import numpy as np
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.motion_lib import MotionData, MotionLib
+
+    monkeypatch.setenv("PBHC_MOTION_CACHE", str(tmp_path / "cache"))
+    mf = "/root/repo/assets/motions/Horse-stance_pose.pkl"
+    model = load_g1_motion_model()
+    ml1 = MotionLib(mf, model, 2, 0.02)
+    files = list((tmp_path / "cache").glob("mlib_*.npz"))
+    assert len(files) == 1
+    ml2 = MotionLib(mf, model, 2, 0.02)
+    for f in (fld.name for fld in dataclasses.fields(MotionData)):
+        np.testing.assert_array_equal(np.asarray(getattr(ml1.data, f)),
+                                      np.asarray(getattr(ml2.data, f)), err_msg=f)
+    assert ml2.has_contact_mask == ml1.has_contact_mask
+    # fix_height variants cache separately
+    MotionLib(mf, model, 2, 0.02, fix_height="full_fix")
+    assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 2
+    # cache off
+    monkeypatch.setenv("PBHC_MOTION_CACHE", "0")
+    MotionLib(mf, model, 2, 0.02)
+    assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 2
