@@ -78,7 +78,13 @@ def retarget_smpl_joints(model, smpl_joints, fps=30, iters=600, lr=0.02,
             + ((p["root_pos"][1:] - p["root_pos"][:-1]) ** 2).mean() * 10
         limit = (jnp.clip(lo - p["dof"], 0, None) ** 2 + jnp.clip(p["dof"] - hi, 0, None) ** 2).mean()
         ground = (jnp.clip(-body_pos[..., 2] + 0.0, 0, None) ** 2).mean()  # keep above ground
-        return w_match * match + w_smooth * smooth + w_limit * limit + w_ground * ground
+        # pin the root<->offsets gauge freedom: a rigid translation of the
+        # whole fit is invisible to `match` when the offsets absorb it, so an
+        # unregularized fit can drift anywhere inside the offset clip box
+        # (observed: +0.26 m float). Small L2 makes offsets minimal.
+        offreg = (p["offsets"] ** 2).sum(-1).mean()
+        return (w_match * match + w_smooth * smooth + w_limit * limit
+                + w_ground * ground + 0.1 * offreg)
 
     tx = optax.adam(lr)
     opt = tx.init(params)
