@@ -561,7 +561,17 @@ class MotionTrackingEnv:
         secs = jax.random.randint(key, (N,), int(lo), int(hi))
         return (secs.astype(jnp.float32) / self.dt).astype(jnp.int32)
 
-    def _reset_envs(self, state: EnvState, mask, key) -> EnvState:
+    def reset_to_start(self, state: EnvState, key) -> EnvState:
+        """Deterministic evaluation reset: every env to motion t=0 with its
+        current motion id (reference eval_agent forces num_envs=1 episodes
+        that play the clip from the beginning, eval_agent.py:151)."""
+        mask = jnp.ones((self.num_envs,), bool)
+        return self._reset_envs(state, mask, key,
+                                force_start_times=jnp.zeros((self.num_envs,)),
+                                resample_ids=False)
+
+    def _reset_envs(self, state: EnvState, mask, key,
+                    force_start_times=None, resample_ids=True) -> EnvState:
         """Masked reset: motion-time resample + state init from reference pose.
 
         reference motion_tracking.py:369-383,445-543 + legged base reset chain."""
@@ -572,7 +582,7 @@ class MotionTrackingEnv:
         # resample the motion id per reset env (multi-motion libraries keep all
         # clips on device, so per-reset resampling subsumes the reference's
         # periodic resample_motion(), motion_tracking.py:385-389)
-        if self.motion_lib.num_unique > 1:
+        if self.motion_lib.num_unique > 1 and resample_ids:
             probs = self.motion_lib.data.sampling_prob
             asc = self.ecfg.get("adaptive_motion_sampling")
             if asc and bool(asc.get("enabled", False)):
@@ -590,8 +600,10 @@ class MotionTrackingEnv:
             motion_ids = state.motion_ids
         state = dataclasses.replace(state, motion_ids=motion_ids)
 
-        # resample start times (uniform phase; reference sample_time)
-        new_start = sample_time(self.motion_lib.data, ks[0], state.motion_ids)
+        # resample start times (uniform phase; reference sample_time) unless
+        # the caller pins them (deterministic eval resets)
+        new_start = (sample_time(self.motion_lib.data, ks[0], state.motion_ids)
+                     if force_start_times is None else force_start_times)
         motion_start = jnp.where(mask, new_start, state.motion_start_times)
         # masked: non-reset envs keep their episode's length even though their
         # ids are unchanged today (guards the id/len update-order coupling)

@@ -48,7 +48,10 @@ def _load(ckpt_path, num_envs, overrides=()):
 
 
 def episode_ratio(ckpt_path, num_envs=64, episodes=128, overrides=()):
-    """Early termination ON: completion statistics (reference ratio_eps.py)."""
+    """Early termination ON, every env playing the clip FROM t=0: mean
+    first-termination step and its ratio to the clip length (reference
+    ratio_eps.py:243-256 `calculate_average_first_one`; the reference eval env
+    zeroes motion_start_times, motion_tracking.py:258)."""
     import dataclasses
 
     import jax
@@ -58,6 +61,7 @@ def episode_ratio(ckpt_path, num_envs=64, episodes=128, overrides=()):
     actor_params = payload.get("actor_params") or payload.get("params")
 
     state = env.init_state(jax.random.PRNGKey(1))
+    state = env.reset_to_start(state, jax.random.PRNGKey(1))
     obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
     state = dataclasses.replace(state, history=hist)
     step = jax.jit(env.step)
@@ -75,23 +79,24 @@ def episode_ratio(ckpt_path, num_envs=64, episodes=128, overrides=()):
             mean, _ = algo.net.apply(actor_params, obs, True, method=MimicActorCritic.act)
             return mean
 
-    lengths, ratios = [], []
-    while len(lengths) < episodes:
+    # one clip-length rollout; per env, record the FIRST termination step
+    # (timeout at motion end counts as completion = M, exactly the reference's
+    # argmax-over-terminate-matrix with all-zero rows set to M)
+    Mi = np.ceil(np.asarray(state.motion_len) / env.dt).astype(np.int64)  # per env
+    M = int(Mi.max())
+    first = np.full((num_envs,), M, np.int64)
+    for i in range(M):
         state, obs, rew, done, info = step(state, act(obs))
-        d = np.asarray(done)
-        if d.any():
-            epl = np.asarray(state.last_episode_length)[d]
-            ml = np.asarray(state.motion_len)[d]
-            start = np.asarray(state.motion_start_times)[d]
-            end_time = epl * env.dt + start
-            lengths.extend(epl.tolist())
-            ratios.extend((end_time / ml).tolist())
+        d = np.asarray(done) & ~np.asarray(info["time_outs"]).astype(bool)
+        first = np.where((first == M) & d, i, first)
+    per_env = np.minimum(first, Mi) / Mi
     out = {
-        "mean_episode_length": float(np.mean(lengths)),
-        "mean_episode_seconds": float(np.mean(lengths) * env.dt),
-        "end_time_ratio_mean": float(np.mean(ratios)),
-        "end_time_ratio_std": float(np.std(ratios)),
-        "episodes": len(lengths),
+        "mean_first_termination_step": float(np.minimum(first, Mi).mean()),
+        "episode_steps": M,
+        "ratio": float(per_env.mean()),
+        "ratio_std": float(per_env.std()),
+        "completed_frac": float((first >= Mi).mean()),
+        "episodes": int(num_envs),
     }
     return out
 

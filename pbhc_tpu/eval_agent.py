@@ -27,13 +27,11 @@ def rollout_jax(env, actor, actor_params, num_steps, key, dashboard=None, callba
     import jax.numpy as jnp
 
     state = env.init_state(key)
-    # evaluation: start every env at t=0 (reference eval_agent forces this)
-    state = dataclasses.replace(
-        state,
-        motion_start_times=jnp.zeros_like(state.motion_start_times),
-        episode_length=jnp.zeros_like(state.episode_length),
-    )
-    state = dataclasses.replace(state, sim=jax.vmap(env.engine.derived_state)(env.sim_params, state.sim))
+    # evaluation: start every env at t=0 (reference eval_agent forces this).
+    # A REAL reset to the t=0 reference pose — merely zeroing the clock would
+    # leave the randomly-sampled start pose in the sim state, which is metres
+    # from ref(0) for locomotion clips (in-place clips masked this).
+    state = env.reset_to_start(state, key)
     obs, hist = env._compute_observations(state, jax.random.PRNGKey(0))
     state = dataclasses.replace(state, history=hist)
 

@@ -73,6 +73,47 @@ def _sphere_index(model, body_name, off):
             return k
     raise KeyError(f"no contact sphere ({body_name}, {off})")
 
+# Foot sole contact spheres, derived from the deploy XML's ankle_roll
+# collision MESH (the surface MuJoCo/PhysX and the real foot actually stand
+# on). Measured sole extents in the ankle_roll body frame: x -0.066..0.142,
+# y +-0.038, bottom z -0.0354 (flat within 3 mm). The fitmotion XML's four
+# corner spheres (heel x=-0.05, toe x=0.12, y +-0.025/0.03) were made for
+# retarget-time contact DETECTION, not dynamics: as a support polygon they are
+# ~2 cm short at both ends and ~25% narrow, which shifts heel-strike/toe-off
+# lever arms — the dominant engine<->MuJoCo lockstep error concentrated in
+# ankle pitch/roll at foot strikes. Four corner spheres (3 mm edge inset,
+# bottoms at z=-0.035) reproduce the mesh sole polygon; a third coplanar row
+# was tried and rejected (redundant rows degrade the impulse solve).
+G1_FOOT_SOLE_SPHERES = [
+    (-0.060, 0.032, -0.030, 0.005), (-0.060, -0.032, -0.030, 0.005),
+    (0.137, 0.032, -0.030, 0.005), (0.137, -0.032, -0.030, 0.005),
+]
+
+
+def _replace_foot_spheres(model: RobotModel) -> RobotModel:
+    """Swap *_ankle_roll_link contact spheres for the mesh-sole set."""
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    feet = [i for i, n in enumerate(model.body_names) if n.endswith("ankle_roll_link")]
+    keep = [k for k, b in enumerate(model.contact_body) if int(b) not in feet]
+    cb = [int(model.contact_body[k]) for k in keep]
+    cp = [model.contact_pos[k] for k in keep]
+    cr = [float(model.contact_radius[k]) for k in keep]
+    for b in feet:
+        for x, y, z, r in G1_FOOT_SOLE_SPHERES:
+            cb.append(b)
+            cp.append(_np.asarray([x, y, z]))
+            cr.append(r)
+    return _dc.replace(
+        model,
+        contact_body=_np.asarray(cb, dtype=_np.int64),
+        contact_pos=_np.stack(cp).astype(_np.float64),
+        contact_radius=_np.asarray(cr, dtype=_np.float64),
+    )
+
+
 DEFAULT_EXTEND_CONFIG = [
     {"joint_name": "left_hand_link", "parent_name": "left_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0.0, 0.0, 0.0]},
     {"joint_name": "right_hand_link", "parent_name": "right_elbow_link", "pos": [0.25, 0.0, 0.0], "rot": [1.0, 0.0, 0.0, 0.0]},
@@ -103,6 +144,9 @@ def load_g1_sim_model(robot_type: str = "g1_23dof_lock_wrist", body_spheres=True
         # 23-DoF fitmotion foot sphere set — the ankle links are identical
         donor = load_mjcf(root / "g1_23dof_lock_wrist_fitmotionONLY.xml")
         model = model.with_contacts_from(donor)
+    # dynamics uses the mesh-derived sole polygon, not the fitmotion
+    # detection spheres (see G1_FOOT_SOLE_SPHERES)
+    model = _replace_foot_spheres(model)
     if body_spheres:
         spheres = [s for s in G1_BODY_SPHERES if s[0] in model.body_names]
         model = model.add_collision_spheres(spheres)

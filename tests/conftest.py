@@ -15,6 +15,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # host SIGILLs/segfaults mid-suite. Never remote-compile in tests, and keep a
 # CPU-only cache dir so entries from TPU-attached processes are never loaded.
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+# the real gate for remote compiles is the pool address; while it is set even
+# "CPU-only" compiles route to the remote service (tools/run_tests.sh unsets
+# it before python starts — this pop is defense-in-depth for bare pytest runs)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

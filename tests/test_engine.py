@@ -348,3 +348,51 @@ def test_29dof_ragdoll_stable():
     # oscillation (the armature regression) shows as high velocity at the end
     assert float(vmax[-50:].max()) < 20.0
     assert 0.02 < float(st.root_pos[2]) < 0.5  # settled on the ground
+
+
+def test_foot_sole_matches_mujoco_mesh():
+    """The engine's foot contact polygon must match the deploy XML's ankle
+    mesh sole — the surface MuJoCo (and the real foot) stands on. A mismatch
+    shifts heel-strike/toe-off lever arms and shows up as ankle-dominated
+    engine<->MuJoCo lockstep error on walking gaits (round-2 sim2sim gap)."""
+    import mujoco
+    import numpy as np
+
+    from pbhc_tpu.model.g1 import g1_asset_root, load_g1_sim_model
+
+    m = mujoco.MjModel.from_xml_path(str(g1_asset_root() / "g1_23dof_lock_wrist.xml"))
+    d = mujoco.MjData(m)
+    d.qpos[2] = 0.793
+    d.qpos[3] = 1.0
+    mujoco.mj_forward(m, d)
+    mesh = {}
+    for gi in range(m.ngeom):
+        b = m.geom_bodyid[gi]
+        bn = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b)
+        if not (bn and bn.endswith("ankle_roll_link") and m.geom_contype[gi]):
+            continue
+        mi = m.geom_dataid[gi]
+        V = m.mesh_vert[m.mesh_vertadr[mi]:m.mesh_vertadr[mi] + m.mesh_vertnum[mi]]
+        W = V @ d.geom_xmat[gi].reshape(3, 3).T + d.geom_xpos[gi]
+        B = (W - d.xpos[b]) @ d.xmat[b].reshape(3, 3)   # into the body frame
+        sole = B[B[:, 2] < B[:, 2].min() + 0.003]
+        mesh[bn] = dict(x=(sole[:, 0].min(), sole[:, 0].max()),
+                        y=(sole[:, 1].min(), sole[:, 1].max()),
+                        z=B[:, 2].min())
+
+    model = load_g1_sim_model()
+    feet = {n: [] for n in mesh}
+    for b, p, r in zip(model.contact_body, model.contact_pos, model.contact_radius):
+        if model.body_names[b] in mesh:
+            feet[model.body_names[b]].append((np.asarray(p), float(r)))
+    for bn, spheres in feet.items():
+        assert len(spheres) >= 4, bn
+        P = np.stack([p for p, _ in spheres])
+        rs = np.asarray([r for _, r in spheres])
+        ms = mesh[bn]
+        # sole bottom height within 1 mm of the mesh sole plane
+        assert abs(float((P[:, 2] - rs).min()) - float(ms["z"])) < 1e-3, bn
+        # support polygon within 8 mm of the mesh sole extents at every edge
+        for axis, key in ((0, "x"), (1, "y")):
+            assert abs(P[:, axis].min() - ms[key][0]) < 8e-3, (bn, key, "min")
+            assert abs(P[:, axis].max() - ms[key][1]) < 8e-3, (bn, key, "max")
