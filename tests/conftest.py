@@ -32,7 +32,23 @@ except Exception:
     import jax._src.xla_bridge as xb  # pragma: no cover
 
     xb._clear_backends()
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+# key the CPU cache by the host's CPU feature set: this VM migrates across
+# hosts (amx/avx512 present on some, absent on others), and XLA:CPU AOT
+# entries compiled on a richer host SIGILL when loaded on a poorer one
+import hashlib  # noqa: E402
+
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "unknown"
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_cpu_{_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402

@@ -138,7 +138,10 @@ def test_restitution_parity_across_solvers():
         atol=5e-3, err_msg="pallas root_lin_vel")
     # impulse distribution over redundant colinear contacts is non-unique;
     # velocities above are the physical quantity, impulses get a looser bound
-    np.testing.assert_allclose(np.asarray(lam_pal), np.asarray(lam_apgd), atol=2e-2)
+    # (rtol covers f32 convergence drift on the ~8.5 N*s normal impulses; a
+    # dropped restitution term would be ~6% relative, far beyond 1%)
+    np.testing.assert_allclose(np.asarray(lam_pal), np.asarray(lam_apgd),
+                               rtol=1e-2, atol=2e-2)
     # pgs (sequential sweeps) and lanes converge along different paths: the
     # bounce magnitude must still agree to ~0.15 m/s (vs ~0.5 m/s if the
     # restitution term were missing)

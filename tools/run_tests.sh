@@ -2,4 +2,23 @@
 # TPU-safe test launcher: unset the axon plugin gate so pytest processes can
 # NEVER dial the TPU tunnel (a second client wedges the active training
 # session's RPC stream). Tests run on an 8-device virtual CPU mesh anyway.
-exec env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE python -m pytest "$@"
+#
+# When given a directory, each test file runs in its OWN pytest process:
+# a single long-lived XLA:CPU process accumulating ~100 compiled programs
+# segfaults sporadically mid-suite (every crashed test passes standalone),
+# so per-file isolation keeps one crash from killing the whole run.
+set -u
+PYTEST=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE python -m pytest)
+
+if [ $# -ge 1 ] && [ -d "$1" ]; then
+  DIR=$1; shift
+  rc=0; failed=()
+  for f in "$DIR"/test_*.py; do
+    "${PYTEST[@]}" "$f" "$@" || { rc=1; failed+=("$f"); }
+  done
+  if [ $rc -ne 0 ]; then
+    echo "FAILED FILES: ${failed[*]}" >&2
+  fi
+  exit $rc
+fi
+exec "${PYTEST[@]}" "$@"

@@ -60,6 +60,17 @@ CONFIGS = [
     ("combo_8192", 8192, ["simulator.config.solver_iters=24",
                           "simulator.config.pos_iters=4",
                           "simulator.config.contact_matvec_dtype=bfloat16"]),
+    ("c12_i16", 4096, ["simulator.config.contact_cap=12",
+                       "simulator.config.solver_iters=16"]),
+    ("c12_i16_p4", 4096, ["simulator.config.contact_cap=12",
+                          "simulator.config.solver_iters=16",
+                          "simulator.config.pos_iters=4"]),
+    ("c10_i16_p4", 4096, ["simulator.config.contact_cap=10",
+                          "simulator.config.solver_iters=16",
+                          "simulator.config.pos_iters=4"]),
+    ("c8_i16_p4", 4096, ["simulator.config.contact_cap=8",
+                         "simulator.config.solver_iters=16",
+                         "simulator.config.pos_iters=4"]),
 ]
 
 
