@@ -120,13 +120,23 @@ def export_student(net, params, env, path, meta_extra=None):
 
 class StudentPolicy:
     """Runs an exported student ONNX with its sidecar metadata; input is the
-    3-array feed dict from StudentObsBuilder."""
+    3-array feed dict from StudentObsBuilder.
 
-    def __init__(self, path):
+    `native=True` executes the graph on the in-repo C++ core
+    (deploy/native/onnx_exec.cpp) instead of the numpy executor — the
+    real-robot controller's deterministic-latency path (reference runs
+    onnxruntime's C++ core, reference deploy_real.py:31)."""
+
+    def __init__(self, path, native=False):
         from pbhc_tpu.deploy.onnx_numpy import OnnxPolicy
 
         self.meta = json.loads(Path(str(path) + ".meta.json").read_text())
-        self._onnx = OnnxPolicy(path, meta=self.meta)
+        if native:
+            from pbhc_tpu.deploy.native.onnx_exec import NativeOnnxPolicy
+
+            self._onnx = NativeOnnxPolicy(path, meta=self.meta)
+        else:
+            self._onnx = OnnxPolicy(path, meta=self.meta)
 
     def __call__(self, feeds: dict):
         return np.asarray(self._onnx.run(feeds)[0]).reshape(-1)

@@ -123,6 +123,30 @@ def _value_info_name(b):
     return ""
 
 
+def _value_info_dims(b):
+    """Concrete dims from ValueInfoProto (None for symbolic axes).
+
+    ValueInfoProto{name=1, type=2}; TypeProto{tensor_type=1};
+    Tensor{elem_type=1, shape=2}; TensorShapeProto{dim=1*};
+    Dimension{dim_value=1, dim_param=2}."""
+    for f, w, v in _fields(b):
+        if f == 2 and w == 2:                      # type
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 2:            # tensor_type
+                    for f3, w3, v3 in _fields(v2):
+                        if f3 == 2 and w3 == 2:    # shape
+                            dims = []
+                            for f4, w4, v4 in _fields(v3):
+                                if f4 == 1 and w4 == 2:   # dim
+                                    dv = None
+                                    for f5, w5, v5 in _fields(v4):
+                                        if f5 == 1 and w5 == 0:
+                                            dv = int(v5)
+                                    dims.append(dv)
+                            return dims
+    return []
+
+
 class OnnxPolicy:
     """Minimal ONNX executor for MLP policy graphs (Gemm/Elu/Relu/Tanh/
     Sigmoid/Identity/Flatten). Callable like NumpyPolicy: obs [d] -> action."""
@@ -135,6 +159,7 @@ class OnnxPolicy:
                 graph = v
         assert graph is not None, "no GraphProto in model"
         self.nodes, self.weights, self.inputs, self.outputs = [], {}, [], []
+        self.input_dims = {}
         for f, w, v in _fields(graph):
             if f == 1 and w == 2:
                 self.nodes.append(_parse_node(v))
@@ -142,7 +167,9 @@ class OnnxPolicy:
                 name, arr = _parse_tensor(v)
                 self.weights[name] = arr
             elif f == 11 and w == 2:
-                self.inputs.append(_value_info_name(v))
+                name = _value_info_name(v)
+                self.inputs.append(name)
+                self.input_dims[name] = _value_info_dims(v)
             elif f == 12 and w == 2:
                 self.outputs.append(_value_info_name(v))
         self.inputs = [n for n in self.inputs if n not in self.weights]

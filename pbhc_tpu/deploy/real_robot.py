@@ -220,7 +220,10 @@ class RealRobotController:
         if str(policy_path).endswith(".onnx") and _P(str(policy_path) + ".meta.json").exists():
             from pbhc_tpu.deploy.export import StudentPolicy
 
-            self.policy = StudentPolicy(policy_path)
+            try:
+                self.policy = StudentPolicy(policy_path, native=True)
+            except Exception:
+                self.policy = StudentPolicy(policy_path)
         else:
             try:
                 from pbhc_tpu.deploy.native import NativePolicy
