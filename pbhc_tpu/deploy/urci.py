@@ -168,7 +168,13 @@ def _load_policy(path, motion_file=None):
         from pbhc_tpu.deploy.onnx_numpy import OnnxPolicy, meta_from_reference_config
 
         cfg_yaml = Path(path).parent.parent / "config.yaml"
-        return OnnxPolicy(path, meta_from_reference_config(cfg_yaml, motion_file))
+        meta = meta_from_reference_config(cfg_yaml, motion_file)
+        try:  # native C++ executor (deterministic tick latency), numpy fallback
+            from pbhc_tpu.deploy.native.onnx_exec import NativeOnnxPolicy
+
+            return NativeOnnxPolicy(path, meta)
+        except Exception:
+            return OnnxPolicy(path, meta)
     from pbhc_tpu.deploy.export import NumpyPolicy
 
     return NumpyPolicy(path)
