@@ -15,6 +15,7 @@ newest checkpoint of the same experiment, reference config/base.yaml:16).
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -147,12 +148,22 @@ def main(argv=None):
 
     # resume (reference ppo.py:145-173: restores params + optimizer + iter + LR;
     # auto_load_latest picks the newest ckpt of this experiment, base.yaml:16)
+    # tracked artifact mirror (see save_artifact): commit-able disaster
+    # recovery for runs whose logs/ tree dies with the VM
+    art_dir = Path(cfg.get("artifact_dir",
+                           Path(__file__).parent.parent / "artifacts"))
+    art_dir = art_dir / str(cfg.experiment_name)
+
     ckpt_path = cfg.get("checkpoint")
     if not ckpt_path and bool(cfg.get("auto_load_latest", False)):
         from pbhc_tpu.utils.checkpoint import latest_checkpoint
 
         ckpt_path = latest_checkpoint(Path(cfg.base_dir) / cfg.project_name,
                                       experiment_name=str(cfg.experiment_name))
+        if not ckpt_path:
+            # logs/ gone (fresh VM): fall back to the tracked params-only
+            # mirror — warm restart with a fresh optimizer
+            ckpt_path = latest_checkpoint(art_dir)
         if ckpt_path:
             print(f"[train] auto_load_latest -> {ckpt_path}")
     if ckpt_path:
@@ -259,13 +270,16 @@ def main(argv=None):
             if (it + 1) % save_interval == 0 or it + 1 == num_iters:
                 # cumulative name: keeps model_<it> monotonic across resumed
                 # runs so auto_load_latest picks the true newest
-                save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
+                cur_it = int(jax.device_get(ts.iteration))
+                save_checkpoint(ckpt_dir, cur_it, ts)
+                save_artifact(art_dir, cur_it, ts)
     finally:
         watchdog.stop()
     if wandb_run is not None:
         wandb_run.finish()
     print(f"[train] done in {time.time()-t_start:.0f}s")
     save_checkpoint(ckpt_dir, int(jax.device_get(ts.iteration)), ts)
+    save_artifact(art_dir, int(jax.device_get(ts.iteration)), ts)
     return ts
 
 
@@ -333,6 +347,36 @@ def save_checkpoint(ckpt_dir, it, ts):
             payload[field] = jax.device_get(getattr(ts, field))
     path = save_checkpoint_payload(Path(ckpt_dir) / f"model_{it}", payload)
     print(f"[train] saved {path}")
+
+
+def save_artifact(art_dir, it, ts, keep=2):
+    """Disaster-recovery mirror of the newest checkpoint in a TRACKED path.
+
+    Full Orbax checkpoints live under the untracked `logs/` tree, which does
+    not survive a build-VM recycle (a completed 24k-iteration run was lost to
+    exactly this once). Every save also drops a small params-only pickle into
+    `artifacts/<experiment>/` — git-committable (~few MB, no optimizer state)
+    and loadable by the normal resume path (`load_checkpoint_payload` reads
+    legacy .pkl; missing optimizer keys mean a fresh-optimizer warm restart).
+    Only the newest `keep` mirrors are retained."""
+    import pickle
+
+    art_dir = Path(art_dir)
+    art_dir.mkdir(parents=True, exist_ok=True)
+    payload = {"iteration": int(ts.iteration), "lr": float(ts.lr)}
+    for field in ("actor_params", "critic_params", "params"):
+        if hasattr(ts, field):
+            payload[field] = jax.device_get(getattr(ts, field))
+    tmp = art_dir / ".model_tmp.pkl"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    path = art_dir / f"model_{it}.pkl"
+    tmp.rename(path)
+    old = sorted(art_dir.glob("model_*.pkl"),
+                 key=lambda p: int(re.match(r"model_(\d+)", p.name).group(1)))
+    for p in old[:-keep]:
+        p.unlink()
+    return path
 
 
 if __name__ == "__main__":
