@@ -130,6 +130,7 @@ class MotionTrackingEnv:
                           lanes_contact_kernel=str(sim_cfg.get("lanes_contact_kernel", "auto")),
                           self_collision=self_coll,
                           contact_cap=int(sim_cfg.get("contact_cap", 0)),
+                          pair_cap=int(sim_cfg.get("pair_cap", 4)),
                           warm_start=bool(sim_cfg.get("warm_start", True)),
                           pos_iters=int(sim_cfg.get("pos_iters", 8)),
                           contact_matvec_dtype=str(

@@ -119,12 +119,18 @@ class EngineOptions:
     self_collision: bool = True   # solve the model's sphere-sphere pair list
     pos_iters: int = 8            # split-impulse position-pass iterations
     energy_projection: bool = True  # clamp spurious explicit-Coriolis KE growth
-    # Active-set pruning: solve only the `contact_cap` closest/deepest contact
-    # rows (by gap phi) instead of all K+P. 0 = no pruning. Delassus/APGD cost
-    # scales with cap^2 — most spheres are airborne and most pairs separated,
-    # so a small cap is lossless in practice (unselected rows get no impulse
-    # for one 5 ms substep; Baumgarte recovers next step).
+    # Active-set pruning: solve only the closest/deepest contact rows (by gap
+    # phi) instead of all K+P. 0 = no pruning. Delassus/APGD cost scales with
+    # rows^2 — most spheres are airborne and most pairs separated, so a small
+    # cap is lossless in practice (unselected rows get no impulse for one 5 ms
+    # substep; Baumgarte recovers next step). Budgets are CLASS-AWARE:
+    # `contact_cap` slots go to ground rows and `pair_cap` slots to
+    # self-collision pair rows, so a same-substep self-contact can never evict
+    # a foot-sole row (nominal double stance uses exactly 8 sole spheres) and
+    # deep pair rows can never be starved by ground rows. pair_cap <= 0 falls
+    # back to one global top-(contact_cap) over all rows (pre-class behavior).
     contact_cap: int = 0
+    pair_cap: int = 4
     # Warm-starting the APGD solve from the previous substep's impulses cuts
     # the iterations needed for convergence ~2-4x (impulses are temporally
     # coherent at 200 Hz); control_step threads the carry automatically.
@@ -140,6 +146,28 @@ class EngineOptions:
     # Delassus build with the solve. "pallas"/"auto" keep the kernel path
     # available for re-evaluation at other batch sizes.
     lanes_contact_kernel: str = "xla"  # xla | pallas | auto
+
+
+def active_set_indices(opt: "EngineOptions", K: int, P: int, phi: jax.Array):
+    """Active-set row indices along the LAST axis of `phi` ([..., K+P] gaps).
+
+    Class-aware budgeting: the `opt.contact_cap` deepest ground rows plus the
+    `opt.pair_cap` deepest self-collision pair rows (see EngineOptions).
+    Returns None when pruning is disabled or would select every row anyway.
+    Shared by the per-env, batched-pallas, and lanes solve paths.
+    """
+    cap, KT = opt.contact_cap, K + P
+    if not 0 < cap < KT:
+        return None
+    if P and opt.pair_cap > 0:
+        cg, cp = min(cap, K), min(opt.pair_cap, P)
+        if cg + cp >= KT:
+            return None
+        _, ig = jax.lax.top_k(-phi[..., :K], cg)
+        _, ip = jax.lax.top_k(-phi[..., K:], cp)
+        return jnp.concatenate([ig, ip + K], axis=-1)
+    _, idx = jax.lax.top_k(-phi, cap)
+    return idx
 
 
 class Engine:
@@ -495,15 +523,13 @@ class Engine:
         else:
             lam_cf = lam_warm
 
-        # active-set pruning: gather the cap deepest/closest rows
-        cap = opt.contact_cap
-        idx = None
-        if 0 < cap < KT:
-            _, idx = jax.lax.top_k(-phi, cap)                          # [cap]
+        # active-set pruning: gather the budgeted deepest/closest rows
+        idx = active_set_indices(opt, self.K, self.P, phi)
+        if idx is not None:
             J = J[idx]
             phi = phi[idx]
             lam_cf = lam_cf[idx]
-            KT = cap
+            KT = idx.shape[0]
 
         K = KT  # row count for this solve (shadows the sphere count)
         Jf = J.reshape(K * 3, self.nv)
@@ -686,10 +712,9 @@ class Engine:
         # J [N,KT,3,nv], phi [N,KT]; active-set pruning mirrors _solve_contacts
         # (the pallas kernel has no warm-start input — zero-init, same as a
         # single cold substep of the per-env path)
-        cap, KT = opt.contact_cap, self.KT
-        idx = None
-        if 0 < cap < KT:
-            _, idx = jax.lax.top_k(-phi, cap)                         # [N,cap]
+        KT = self.KT
+        idx = active_set_indices(opt, self.K, self.P, phi)            # [N,R]|None
+        if idx is not None:
             J = jnp.take_along_axis(J, idx[:, :, None, None], axis=1)
             phi = jnp.take_along_axis(phi, idx, axis=1)
         R = J.shape[1]                                                # solver rows

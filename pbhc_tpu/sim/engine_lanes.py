@@ -27,7 +27,8 @@ import numpy as np
 
 from pbhc_tpu.maths import rotations as rot
 from pbhc_tpu.model.kinematics import _level_order
-from pbhc_tpu.sim.engine import GRAVITY, Engine, SimParams, SimState
+from pbhc_tpu.sim.engine import (GRAVITY, Engine, SimParams, SimState,
+                                 active_set_indices)
 
 
 # --------------------------------------------------------------------- helpers
@@ -547,14 +548,16 @@ class LanesEngine:
         else:
             lam_cf = lam_prev
 
-        # active-set pruning: solve only the cap closest rows. Selection is a
-        # one-hot contraction, NOT take_along_axis — a traced row gather along
-        # the major axis of [KT,3,nv,N] lowers catastrophically (measured
-        # 4.0 GB HBM / 3.2 ms standalone vs ~0.1 GB for the matmul form).
-        cap = opt.contact_cap
+        # active-set pruning: solve only the class-budgeted closest rows
+        # (engine.active_set_indices: contact_cap ground + pair_cap pair).
+        # Selection is a one-hot contraction, NOT take_along_axis — a traced
+        # row gather along the major axis of [KT,3,nv,N] lowers
+        # catastrophically (measured 4.0 GB HBM / 3.2 ms standalone vs
+        # ~0.1 GB for the matmul form).
+        idx = active_set_indices(opt, self.K, self.P, phi.T)       # [N,R]|None
         idxT = None
-        if 0 < cap < KT:
-            _, idx = jax.lax.top_k(-phi.T, cap)                    # [N,cap]
+        if idx is not None:
+            cap = idx.shape[-1]
             idxT = idx.T                                           # [cap,N]
             onehot = (idxT[:, None, :] == jnp.arange(KT)[None, :, None]
                       ).astype(Jf.dtype)                           # [cap,KT,N]
