@@ -8,6 +8,7 @@ and the jaxtyping pytest plugin imports jax before this conftest runs, so we
 must both override the env var and clear any already-initialized backends.
 """
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # the axon remote-compile service produces CPU AOT executables with the
@@ -32,24 +33,14 @@ except Exception:
     import jax._src.xla_bridge as xb  # pragma: no cover
 
     xb._clear_backends()
-# key the CPU cache by the host's CPU feature set: this VM migrates across
-# hosts (amx/avx512 present on some, absent on others), and XLA:CPU AOT
-# entries compiled on a richer host SIGILL when loaded on a poorer one
-import hashlib  # noqa: E402
+# key the CPU cache by the host's full CPU identity: this VM migrates across
+# hosts, and XLA:CPU AOT entries embed LLVM tuning features derived from the
+# CPU MODEL (not just the cpuinfo flags line) — loading a foreign entry
+# SIGILLs or at best spams feature-mismatch errors (pbhc_tpu/utils/cpu_cache)
+sys.path.insert(0, "/root/repo")
+from pbhc_tpu.utils.cpu_cache import setup_cpu_cache  # noqa: E402
 
-def _cpu_fingerprint():
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:8]
-    except OSError:
-        pass
-    return "unknown"
-
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_cpu_{_cpu_fingerprint()}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+setup_cpu_cache(min_compile_secs=0.5)
 
 import pytest  # noqa: E402
 
