@@ -153,6 +153,11 @@ def main(argv=None):
     art_dir = Path(cfg.get("artifact_dir",
                            Path(__file__).parent.parent / "artifacts"))
     art_dir = art_dir / str(cfg.experiment_name)
+    # self-contained mirror: eval tools resolve the run config ckpt-adjacent
+    # (<dir>/../config.yaml for logs, <dir>/config.yaml for mirrors — see
+    # utils.checkpoint/load-side lookups), so snapshot it here too
+    (art_dir / "ckpt").mkdir(parents=True, exist_ok=True)
+    (art_dir / "config.yaml").write_text((exp_dir / "config.yaml").read_text())
 
     ckpt_path = cfg.get("checkpoint")
     if not ckpt_path and bool(cfg.get("auto_load_latest", False)):
@@ -358,10 +363,14 @@ def save_artifact(art_dir, it, ts, keep=2):
     `artifacts/<experiment>/` — git-committable (~few MB, no optimizer state)
     and loadable by the normal resume path (`load_checkpoint_payload` reads
     legacy .pkl; missing optimizer keys mean a fresh-optimizer warm restart).
-    Only the newest `keep` mirrors are retained."""
+    Only the newest `keep` mirrors are retained. Mirrors live in
+    `<art_dir>/ckpt/` with the run config snapshot at `<art_dir>/config.yaml`
+    so eval tools (batch_eval/_load, eval_agent) can load a mirror directly —
+    they resolve the config ckpt-adjacent, like the reference
+    (reference eval_agent.py:73-91 ckpt-side config.yaml lookup)."""
     import pickle
 
-    art_dir = Path(art_dir)
+    art_dir = Path(art_dir) / "ckpt"
     art_dir.mkdir(parents=True, exist_ok=True)
     payload = {"iteration": int(ts.iteration), "lr": float(ts.lr)}
     for field in ("actor_params", "critic_params", "params"):
