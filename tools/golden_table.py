@@ -1,0 +1,70 @@
+"""Render the KB1 golden table (markdown) from docs/golden_table/*_eval.json
+plus the shipped punch artifact and the reference-pretrained anchors
+(docs/GOLDEN_METRICS.json). Columns follow the reference's validation idiom:
+in-engine completion + MuJoCo-sim2sim E_mpjpe / standing / smoothness
+(reference measure_traj.py:208-287, ratio_eps.py).
+
+Usage: python tools/golden_table.py   (prints markdown to stdout)
+"""
+import glob
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def row(name, d, note=""):
+    s2s = d.get("sim2sim", {})
+    acc = s2s.get("accuracy", {})
+    sm = s2s.get("smoothness", {})
+    stands = "yes" if d.get("sim2sim_final_z", 0) > 0.5 else "NO"
+    return (f"| {name} | {d.get('completion_ratio', float('nan')):.2f} "
+            f"| {stands} ({d.get('sim2sim_final_z', float('nan')):.3f}) "
+            f"| {acc.get('E_mpjpe', float('nan')):.1f} "
+            f"| {sm.get('L2_dof_jerk', float('nan')):.0f} | {note} |")
+
+
+def main():
+    print("# KB1 golden table — one policy per reference example clip")
+    print()
+    print("In-engine completion (deterministic full-clip rollout) and MuJoCo")
+    print("sim2sim replay scored with the reference metric family. Reference")
+    print("anchors (its shipped pretrained ONNX through the same pipeline)")
+    print("from docs/GOLDEN_METRICS.json where they exist.")
+    print()
+    print("| clip | in-engine completion | sim2sim stands (final z) "
+          "| sim2sim E_mpjpe (mm) | L2_dof_jerk | note |")
+    print("|---|---|---|---|---|---|")
+
+    punch = os.path.join(HERE, "docs", "punch_final_eval.json")
+    if os.path.exists(punch):
+        with open(punch) as f:
+            print(row("Horse-stance_punch", json.load(f),
+                      "round-1 final (16k iters); beats reference 33k ONNX"))
+
+    for p in sorted(glob.glob(os.path.join(HERE, "docs", "golden_table",
+                                           "*_eval.json"))):
+        name = os.path.basename(p).replace("_eval.json", "").replace("kb1_", "")
+        with open(p) as f:
+            print(row(name, json.load(f)))
+
+    gm = os.path.join(HERE, "docs", "GOLDEN_METRICS.json")
+    if os.path.exists(gm):
+        with open(gm) as f:
+            g = json.load(f)
+        print()
+        print("Reference-pretrained anchors (same sim2sim + metric pipeline):")
+        print()
+        print("| reference policy | E_mpjpe (mm) | final z |")
+        print("|---|---|---|")
+        for k, v in g.items():
+            if not isinstance(v, dict):
+                continue
+            acc = v.get("accuracy", v)
+            print(f"| {k} | {acc.get('E_mpjpe', float('nan')):.1f} "
+                  f"| {v.get('final_z', float('nan')):.3f} |")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
