@@ -1432,4 +1432,10 @@ class MotionTrackingEnv:
             log["motion_fail_ema_max"] = state.motion_fail_ema.max()
         for i, t in enumerate(self.sigma_terms):
             log[f"adp_sigma_{t}"] = state.sigma_values[i]
+        if self.terrain is not None:
+            # curriculum evidence: the level distribution moving up rows
+            # (reference legged_robot_base.py terrain-curriculum telemetry)
+            lvl = state.terrain_level.astype(jnp.float32)
+            log["terrain_level_mean"] = lvl.mean()
+            log["terrain_level_max"] = lvl.max()
         return log

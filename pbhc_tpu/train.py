@@ -265,9 +265,12 @@ def main(argv=None):
                 fps = steps_per_iter * window_iters / (now - last_log_t)
                 last_log_t, last_log_it = now, it + 1
                 watchdog.beat()   # a completed device sync = real progress
+                terr = (f" terrain_level_mean={log['Env/terrain_level_mean']:.2f}"
+                        f"/max={log['Env/terrain_level_max']:.0f}"
+                        if "Env/terrain_level_mean" in log else "")
                 print(f"[it {it+1}/{num_iters}] rew/step={log['Train/mean_step_reward']:.4f} "
                       f"epl={log['Env/episode_length_mean']:.1f} kl={log['Loss/kl']:.4f} "
-                      f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}")
+                      f"lr={log['Loss/lr']:.2e} fps={fps:,.0f}{terr}")
                 if writer:
                     for k, v in log.items():
                         writer.add_scalar(k, float(v), it + 1)

@@ -1,0 +1,107 @@
+"""Terrain end-to-end demo: replay a terrain-trained policy in MuJoCo ON the
+training heightfield (the hfield export path) at a chosen curriculum tile.
+
+The training env translates the reference motion onto each env's terrain tile
+(tracking_env origin_shift); this tool does the same for the sim2sim oracle:
+rebuild the (deterministic, seed-0) terrain from the run config, shift the
+motion onto the requested tile, export the policy, and roll it through the
+URCI MuJoCo runtime with the terrain hfield installed.
+
+Usage:
+    python tools/terrain_demo.py checkpoint=<ckpt> [row=3] [col=0] [out=...]
+
+(reference parity: PhysX heightfield training, isaacgym.py:89-150; the
+reference has no MuJoCo terrain twin — this closes that gap.)
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import yaml
+
+
+def main(argv=None):
+    kv = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
+    ckpt = Path(kv["checkpoint"])
+    row, col = int(kv.get("row", 3)), int(kv.get("col", 0))
+
+    cfg = yaml.safe_load((ckpt.parent.parent / "config.yaml").read_text())
+    tcfg = cfg["terrain"]
+    assert tcfg["mesh_type"] == "heightfield", "checkpoint was not terrain-trained"
+
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+
+    terrain = Terrain(TerrainConfig(
+        horizontal_scale=float(tcfg["horizontal_scale"]),
+        vertical_scale=float(tcfg.get("vertical_scale", 0.005)),
+        num_rows=int(tcfg["num_rows"]), num_cols=int(tcfg["num_cols"]),
+        terrain_length=float(tcfg["terrain_length"]),
+        terrain_width=float(tcfg["terrain_width"]),
+        border_size=float(tcfg["border_size"]),
+        terrain_proportions=tuple(tcfg["terrain_proportions"])))
+    origin = terrain.env_origins[row, col]
+    print(f"[terrain_demo] tile ({row},{col}) origin {origin}")
+
+    # shift the motion onto the tile (the env's origin_shift idiom)
+    import joblib
+
+    mf = Path(cfg["robot"]["motion"]["motion_file"])
+    data = joblib.load(mf)
+    shifted = {}
+    for name, m in data.items():
+        m = dict(m)
+        rt = np.asarray(m["root_trans_offset"], dtype=np.float32).copy()
+        rt[:, 0] += float(origin[0]) - rt[0, 0]
+        rt[:, 1] += float(origin[1]) - rt[0, 1]
+        rt[:, 2] += float(origin[2])
+        m["root_trans_offset"] = rt
+        shifted[name] = m
+    smf = Path("/tmp") / f"terrain_shifted_{mf.name}"
+    joblib.dump(shifted, smf)
+
+    # policy export (reuse eval_agent's if present)
+    npz = ckpt.parent.parent / "exported" / f"{ckpt.name.replace('.pkl','')}.npz"
+    if not npz.exists():
+        from pbhc_tpu.eval.batch_eval import _load
+        from pbhc_tpu.deploy.export import export_policy
+
+        env, algo, payload = _load(ckpt, 1)
+        params = payload.get("actor_params") or payload.get("params")
+        npz = export_policy(params, env, npz,
+                            meta_extra={"motion_file": str(mf)}, actor=algo.actor)
+    print(f"[terrain_demo] policy {npz}")
+
+    from pbhc_tpu.deploy.urci import URCIRobot
+
+    robot = URCIRobot([str(npz)], motion_file=str(smf), terrain=terrain)
+    n = int(robot.motion.data.num_frames[0] / robot.motion.data.fps[0] / robot.ctrl_dt)
+    traj = robot.routing(total_steps=n, loop=False)
+    rp = np.stack(traj["root_pos"])
+    # height above the LOCAL terrain, not absolute z
+    rel_z = rp[:, 2] - float(origin[2])
+    quat = np.stack(traj["root_rot"])
+    roll = np.arctan2(2 * (quat[:, 3] * quat[:, 0] + quat[:, 1] * quat[:, 2]),
+                      1 - 2 * (quat[:, 0] ** 2 + quat[:, 1] ** 2))
+    fall = next((t for t in range(len(rel_z)) if rel_z[t] < 0.35), None)
+    res = {
+        "tile": [row, col], "steps": int(len(rp)), "clip_steps": int(n),
+        "completed": fall is None, "first_fall_tick": fall,
+        "final_rel_z": float(rel_z[-1]), "min_rel_z": float(rel_z.min()),
+        "max_abs_roll": float(np.abs(roll).max()),
+    }
+    print(json.dumps(res, indent=1))
+    out = kv.get("out")
+    if out:
+        Path(out).write_text(json.dumps(res, indent=1))
+    return 0 if res["completed"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
