@@ -69,6 +69,7 @@ def test_entry_compiles():
     assert bool(np.isfinite(np.asarray(out)).all())
 
 
+@pytest.mark.slow
 def test_train_cli_multichip(tmp_path, monkeypatch):
     """train.py auto-shards over the virtual 8-device mesh and completes
     iterations (env-axis DP through the real CLI path)."""

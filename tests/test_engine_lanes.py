@@ -47,6 +47,7 @@ def _batched_setup(eng, N=4, z=0.755):
     return params, jax.vmap(eng.derived_state)(params, states)
 
 
+@pytest.mark.slow
 def test_lanes_parity_with_contact(engines):
     """25 control steps of PD settling: lanes == vmap(env-first) to f32 noise."""
     eng, lanes = engines
@@ -111,6 +112,7 @@ def test_lanes_env_step(tmp_path):
         assert np.allclose(a, b, atol=2e-2), (np.abs(a - b).max())
 
 
+@pytest.mark.slow
 def test_lanes_env_step_sdc():
     """SDC-enabled lanes path runs and stays finite."""
     from pbhc_tpu.envs.tracking_env import MotionTrackingEnv

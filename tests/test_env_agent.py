@@ -84,6 +84,7 @@ def test_motion_phase_progresses(env):
     assert (p1 >= p0 - 1e-6).all()
 
 
+@pytest.mark.slow
 def test_ppo_iteration_runs_and_learns_something():
     from pbhc_tpu.agents.mh_ppo import MHPPO
     from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
@@ -139,6 +140,7 @@ def test_nonfinite_state_terminates_and_sanitizes():
     assert bool(jnp.isfinite(state.sim.dof_pos).all())
 
 
+@pytest.mark.slow
 def test_ppo_l2c2_iteration():
     """L2C2 smoothness regularizer path compiles and trains (reference
     mh_ppo.py:488-507); interpolation noise is drawn per minibatch."""
@@ -191,6 +193,7 @@ def test_close_to_limit_terminations():
     assert float(info["log"]["terminate_by_dof_vel_limit"]) > 0
 
 
+@pytest.mark.slow
 def test_heavy_upper_added_mass_parallel_pd_dr():
     """heavy_upper (reference isaacgym.py:519-534), base added mass (:538-549),
     parallel_serial_pd (legged_robot_base.py:607-615) and parallel_serial_tau
@@ -267,6 +270,7 @@ def test_mppi_snapshot_roundtrip(env):
     np.testing.assert_allclose(np.asarray(s1.sim.dof_pos), np.asarray(s1b.sim.dof_pos), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_robot_variant_g1_23dof_general():
     """The sysID'd "general" variant: 9 key bodies, per-joint action scales,
     per-joint armature override (reference robot/g1/g1_23dof_general.yaml)."""
@@ -295,6 +299,7 @@ def test_robot_variant_g1_23dof_general():
     assert bool(jnp.isfinite(obs["actor_obs"]).all())
 
 
+@pytest.mark.slow
 def test_robot_variant_g1_only_leg():
     """Leg-only actuation: 12-dim policy actions; waist/arm dofs PD-track the
     reference motion (reference robot/g1/g1_only_leg.yaml only_track_leg +

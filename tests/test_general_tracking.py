@@ -76,6 +76,7 @@ def test_multi_motion_resampling(env):
     assert set(ids.tolist()) == {0, 1}
 
 
+@pytest.mark.slow
 def test_ppo_mimic_modes(env):
     env, cfg = env
     from pbhc_tpu.agents.ppo_mimic import PPOMimic
@@ -121,6 +122,7 @@ def test_moe_backbone_unit():
     assert bool(jnp.allclose(y, y2))
 
 
+@pytest.mark.slow
 def test_moe_ppo_mimic(env, multi_motion):
     from pbhc_tpu.agents.ppo_mimic import PPOMimic
 
@@ -180,6 +182,7 @@ def test_adaptive_motion_sampling(multi_motion):
     assert set(np.concatenate(ids).tolist()) == {0, 1}
 
 
+@pytest.mark.slow
 def test_distill_mode(env):
     env, cfg = env
     from pbhc_tpu.agents.ppo_mimic import PPOMimic
@@ -219,6 +222,7 @@ def test_distill_mode(env):
     assert all(np.array_equal(s_hist_after[k], t_hist[k]) for k in t_hist)
 
 
+@pytest.mark.slow
 def test_distill_teacher_obs_remap(multi_motion, tmp_path):
     """Student training with a teacher whose obs layout DIFFERS: the student
     env gains teacher_actor_obs / teacher_future_motion_targets groups and the
