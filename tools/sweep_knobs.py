@@ -71,6 +71,12 @@ CONFIGS = [
     ("c8_i16_p4", 4096, ["simulator.config.contact_cap=8",
                          "simulator.config.solver_iters=16",
                          "simulator.config.pos_iters=4"]),
+    # round-3 class-aware pair budgets (shipped default = pair4)
+    ("pair4", 4096, []),
+    ("pair2", 4096, ["simulator.config.pair_cap=2"]),
+    ("pair0_global_top8", 4096, ["simulator.config.pair_cap=0"]),
+    ("pair4_bf16", 4096, ["simulator.config.contact_matvec_dtype=bfloat16"]),
+    ("pair4_pallas", 4096, ["simulator.config.lanes_contact_kernel=pallas"]),
 ]
 
 
