@@ -12,7 +12,9 @@ ITERS=$1; shift
 cd /root/repo
 OUT=docs/golden_table
 mkdir -p $OUT
-CPU=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu)
+# nice -19: CPU evals may overlap the NEXT clip's TPU training on a 1-core
+# host; the TPU driver process must win the core or training fps halves
+CPU=(nice -n 19 env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu)
 
 for CLIP in "$@"; do
   EXP=kb1_$(echo "$CLIP" | tr 'A-Z-' 'a-z_')
