@@ -86,6 +86,7 @@ def test_train_cli_multichip(tmp_path, monkeypatch):
         "algo.config.num_learning_epochs=1",
         "algo.config.save_interval=100",
         f"base_dir={tmp_path}",
+        f"artifact_dir={tmp_path / 'artifacts'}",
         "experiment_name=mc_smoke",
     ])
     import jax

@@ -262,6 +262,7 @@ def test_distill_teacher_obs_remap(multi_motion, tmp_path):
         "algo.config.num_learning_iterations=1",
         "algo.config.save_interval=10",
         f"base_dir={tmp_path / 'logs'}",
+        f"artifact_dir={tmp_path / 'artifacts'}",
         "multichip=false",
         "experiment_name=distill_remap"])
     assert int(ts.iteration) == 1

@@ -7,14 +7,25 @@
 # a single long-lived XLA:CPU process accumulating ~100 compiled programs
 # segfaults sporadically mid-suite (every crashed test passes standalone),
 # so per-file isolation keeps one crash from killing the whole run.
+#
+# Default is the FAST path: tests marked `slow` (multi-minute distill /
+# engine-parity compiles) are skipped, keeping the default run under ~10 min.
+# Set PBHC_SLOW=1 for the full suite (what CI / the round driver should run):
+#   bash tools/run_tests.sh tests/ -q              # fast default
+#   PBHC_SLOW=1 bash tools/run_tests.sh tests/ -q  # everything
 set -u
 PYTEST=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE python -m pytest)
+if [ "${PBHC_SLOW:-0}" != "1" ]; then
+  PYTEST+=(-m "not slow")
+fi
 
 if [ $# -ge 1 ] && [ -d "$1" ]; then
   DIR=$1; shift
   rc=0; failed=()
   for f in "$DIR"/test_*.py; do
+    t0=$SECONDS
     "${PYTEST[@]}" "$f" "$@" || { rc=1; failed+=("$f"); }
+    echo "[run_tests] $f: $((SECONDS - t0))s"
   done
   if [ $rc -ne 0 ]; then
     echo "FAILED FILES: ${failed[*]}" >&2
