@@ -41,6 +41,37 @@ def test_legacy_pickle_load(tmp_path):
     assert r["iteration"] == 3
 
 
+@pytest.mark.slow
+def test_artifact_mirror_disaster_recovery(tmp_path):
+    """The round-2 failure mode: a finished run's logs/ tree dies with the
+    VM. Training must mirror params into the tracked artifact dir (with the
+    run config), and auto_load_latest must resume from the mirror when logs/
+    is gone (warm restart, fresh optimizer)."""
+    import shutil
+
+    from pbhc_tpu.train import main as train_main
+
+    args = ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+            "rewards=motion_tracking", "domain_rand=off", "simulator=tpu",
+            "num_envs=2", "multichip=false",
+            "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl",
+            "algo.config.num_steps_per_env=2", "algo.config.num_mini_batches=1",
+            "algo.config.num_learning_epochs=1", "algo.config.save_interval=10",
+            f"base_dir={tmp_path / 'logs'}",
+            f"artifact_dir={tmp_path / 'artifacts'}",
+            "experiment_name=dr_smoke", "seed=0"]
+    train_main(args + ["algo.config.num_learning_iterations=2"])
+    art = tmp_path / "artifacts" / "dr_smoke"
+    assert (art / "ckpt" / "model_2.pkl").exists()
+    assert (art / "config.yaml").exists()
+
+    shutil.rmtree(tmp_path / "logs")  # the VM recycle
+    ts = train_main(args + ["auto_load_latest=true", "total_iterations=3",
+                            "algo.config.num_learning_iterations=3"])
+    # resumed from the mirror (iteration carried over), ran only the remainder
+    assert int(ts.iteration) == 3
+
+
 def test_latest_checkpoint(tmp_path):
     from pbhc_tpu.utils.checkpoint import (latest_checkpoint,
                                            save_checkpoint_payload)
