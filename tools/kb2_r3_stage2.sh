@@ -41,7 +41,9 @@ echo "[stage2] student: $STUDENT"
 # keeping them off the tunnel lets follow-up training start immediately) ----
 OUT=docs/kb2_r3
 mkdir -p $OUT
-CPU=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu)
+# nice -19: these CPU evals overlap the next chain stage's TPU training on
+# the 1-core host; the TPU driver process must win the core
+CPU=(nice -n 19 env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu)
 
 "${CPU[@]}" python -m pbhc_tpu.deploy.export student "$STUDENT" \
     $OUT/kb2_student23_r3.onnx || exit 1
@@ -52,7 +54,7 @@ TT=$(ls -td logs/PBHC_TPU/*kb2_teacher23_r3*/ckpt/model_24000 | head -1)
 "${CPU[@]}" python -m pbhc_tpu.eval.batch_eval checkpoint="$TT" \
     mode=ratio num_envs=64 > $OUT/teacher_ratio.json || exit 1
 
-python tools/diag_sim2sim_fall.py checkpoint="$STUDENT" \
+nice -n 19 python tools/diag_sim2sim_fall.py checkpoint="$STUDENT" \
     onnx=$OUT/kb2_student23_r3.onnx > $OUT/diag_sim2sim.txt 2>&1
 
 # ---- persist the small trained artifacts in tracked docs/ ----

@@ -10,8 +10,12 @@ set -u
 TOTAL=$1; shift
 
 while true; do
+  # record the active trainer PID so a supervisor can stop the run cleanly
+  # (never kill by pattern on this host — see repo guidelines)
   python -u -m pbhc_tpu.train "$@" \
-      auto_load_latest=true "total_iterations=$TOTAL"
+      auto_load_latest=true "total_iterations=$TOTAL" &
+  echo $! > /tmp/train_active.pid
+  wait $!
   rc=$?
   if [ $rc -eq 3 ]; then
     echo "[train_retry] watchdog exit — resuming from latest checkpoint" >&2
