@@ -123,7 +123,7 @@ def sample_episodes(ckpt_path, num_envs=4, episodes=8, overrides=()):
         traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps,
                                        jax.random.PRNGKey(100 + ep))
         accs.append(eval_accuracy(traj, ref, env.dt))
-        smooths.append(eval_smoothness(traj, env.dt))
+        smooths.append(eval_smoothness(traj, env.dt, ref=ref))
     agg = {}
     for k in accs[0]:
         vals = [a[k] for a in accs]

@@ -58,7 +58,7 @@ def rollout_metrics(policy_path, motion_file, robot_type="g1_23dof_lock_wrist",
 
     return {
         "accuracy": eval_accuracy(traj_d, ref_d, robot.ctrl_dt),
-        "smoothness": eval_smoothness(traj_d, robot.ctrl_dt),
+        "smoothness": eval_smoothness(traj_d, robot.ctrl_dt, ref=ref_d),
         "steps": T,
         "final_z": float(traj_d["root_pos"][-1, 2]),
     }
@@ -127,7 +127,7 @@ def student_rollout_metrics(onnx_path, motion_file=None,
     ref_d["body_rot"] = ref_d["body_rot"][:, :B]
     return {
         "accuracy": eval_accuracy(traj_d, ref_d, ctrl.ctrl_dt),
-        "smoothness": eval_smoothness(traj_d, ctrl.ctrl_dt),
+        "smoothness": eval_smoothness(traj_d, ctrl.ctrl_dt, ref=ref_d),
         "steps": T,
         "final_z": float(traj_d["root_pos"][-1, 2]),
     }

@@ -165,7 +165,7 @@ def main(argv=None):
     traj, ref, dones = rollout_jax(env, algo.actor, actor_params, num_steps, jax.random.PRNGKey(1),
                                    dashboard=dash, callbacks=callbacks)
     acc = eval_accuracy(traj, ref, env.dt)
-    smooth = eval_smoothness(traj, env.dt)
+    smooth = eval_smoothness(traj, env.dt, ref=ref)
     ratio = len(traj["dof_pos"]) / num_steps
     print(f"[eval] episode completed {len(traj['dof_pos'])}/{num_steps} steps (ratio {ratio:.3f})")
     print("[eval] accuracy:", json.dumps({k: round(v, 4) for k, v in acc.items()}))
@@ -183,7 +183,7 @@ def main(argv=None):
                               fix_height=str(cfg.robot.motion.get("fix_height", "no_fix")))
         print(f"[eval] sim2sim replay: {s2s['steps']} steps, "
               f"final root z={s2s['final_z']:.3f}, "
-              f"E_mpjpe={s2s['accuracy']['E_mpjpe']:.1f}mm")
+              f"E_mpjpe={s2s['accuracy']['E_mpjpe']:.1f}")
         results["sim2sim_final_z"] = s2s["final_z"]
         results["sim2sim"] = s2s
 

@@ -15,8 +15,10 @@ newest checkpoint of the same experiment, reference config/base.yaml:16).
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -150,9 +152,7 @@ def main(argv=None):
     # auto_load_latest picks the newest ckpt of this experiment, base.yaml:16)
     # tracked artifact mirror (see save_artifact): commit-able disaster
     # recovery for runs whose logs/ tree dies with the VM
-    art_dir = Path(cfg.get("artifact_dir",
-                           Path(__file__).parent.parent / "artifacts"))
-    art_dir = art_dir / str(cfg.experiment_name)
+    art_dir = resolve_artifact_dir(cfg)
     # self-contained mirror: eval tools resolve the run config ckpt-adjacent
     # (<dir>/../config.yaml for logs, <dir>/config.yaml for mirrors — see
     # utils.checkpoint/load-side lookups), so snapshot it here too
@@ -355,6 +355,22 @@ def save_checkpoint(ckpt_dir, it, ts):
             payload[field] = jax.device_get(getattr(ts, field))
     path = save_checkpoint_payload(Path(ckpt_dir) / f"model_{it}", payload)
     print(f"[train] saved {path}")
+
+
+def resolve_artifact_dir(cfg):
+    """Where this run's tracked checkpoint mirror lives (see save_artifact).
+
+    Under pytest, a run that did NOT explicitly set artifact_dir is redirected
+    to the system tmpdir — never let a test sweep its mirror into the tracked
+    artifacts/ tree (a round-3 test predating the per-test artifact_dir
+    override left a 12 MB pickle committed). Tests that assert on mirrors pass
+    artifact_dir=tmp_path explicitly.
+    """
+    art_dir = Path(cfg.get("artifact_dir",
+                           Path(__file__).parent.parent / "artifacts"))
+    if os.environ.get("PYTEST_CURRENT_TEST") and "artifact_dir" not in cfg:
+        art_dir = Path(tempfile.gettempdir()) / "pbhc_pytest_artifacts"
+    return art_dir / str(cfg.experiment_name)
 
 
 def save_artifact(art_dir, it, ts, keep=2):

@@ -37,7 +37,7 @@ except Exception:
 # hosts, and XLA:CPU AOT entries embed LLVM tuning features derived from the
 # CPU MODEL (not just the cpuinfo flags line) — loading a foreign entry
 # SIGILLs or at best spams feature-mismatch errors (pbhc_tpu/utils/cpu_cache)
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from pbhc_tpu.utils.cpu_cache import setup_cpu_cache  # noqa: E402
 
 setup_cpu_cache(min_compile_secs=0.5)

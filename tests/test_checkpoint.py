@@ -84,3 +84,22 @@ def test_latest_checkpoint(tmp_path):
     assert latest_checkpoint(tmp_path).name == "model_300"
     assert latest_checkpoint(tmp_path, experiment_name="expB").name == "model_200"
     assert latest_checkpoint(tmp_path / "nothing" ) is None
+
+
+def test_pytest_runs_never_mirror_into_tracked_artifacts():
+    """Regression (round-3 repo pollution): a training run launched from a
+    test without an explicit artifact_dir must mirror to the system tmpdir,
+    not the tracked artifacts/ tree."""
+    import tempfile
+    from pathlib import Path
+
+    from pbhc_tpu.config.loader import Cfg
+    from pbhc_tpu.train import resolve_artifact_dir
+
+    got = resolve_artifact_dir(Cfg({"experiment_name": "exp_x"}))
+    assert got == Path(tempfile.gettempdir()) / "pbhc_pytest_artifacts" / "exp_x"
+
+    # an explicit artifact_dir (what tests that assert on mirrors pass) wins
+    got = resolve_artifact_dir(
+        Cfg({"experiment_name": "exp_x", "artifact_dir": "/tmp/somewhere"}))
+    assert got == Path("/tmp/somewhere/exp_x")

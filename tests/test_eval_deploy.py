@@ -19,12 +19,14 @@ def test_metrics_zero_error_on_identical_traj():
     }
     acc = eval_accuracy(traj, traj, 0.02)
     for k, v in acc.items():
-        if k == "E_contact_acc":
-            assert v == 1.0
-        else:
-            assert abs(v) < 1e-6, (k, v)
-    sm = eval_smoothness(traj, 0.02)
+        # every accuracy metric (incl. E_contact_acc, a mean-abs ERROR per
+        # reference measure_traj.py:194-195) is 0 on an identical trajectory
+        assert abs(v) < 1e-6, (k, v)
+    sm = eval_smoothness(traj, 0.02, ref=traj)
     assert all(np.isfinite(v) for v in sm.values())
+    # ref anchors of an identical traj equal the policy values
+    for key in ("vel", "acc", "jerk", "dof_vel", "dof_acc", "dof_jerk"):
+        assert sm[f"L2_{key}"] == pytest.approx(sm[f"L2_ref_{key}"])
     assert episode_length_ratio([50, 100], [2.0, 2.0], 0.02) == pytest.approx(0.75)
 
 
@@ -36,6 +38,43 @@ def test_metrics_known_offset():
     acc = eval_accuracy(traj, ref, 0.02)
     assert acc["E_gmpbpe"] == pytest.approx(0.01 * np.sqrt(3) * 1000, rel=1e-5)
     assert acc["E_mpbpe"] == pytest.approx(0.0, abs=1e-6)  # offset cancels root-relative
+
+
+def test_metrics_match_reference_harness_formulas():
+    """Hand-computed reference semantics (measure_traj.py:145-222 called as
+    ratio_eps.py:69 does: delta_per_frame=True then x1e3): dof families use
+    the L2 norm over the WHOLE dof vector then mean over time; finite
+    differences are per-frame (no dt scaling); everything x1e3."""
+    rng = np.random.default_rng(7)
+    T, B, nd = 12, 4, 5
+    traj = {"body_pos": rng.normal(size=(T, B, 3)), "dof_pos": rng.normal(size=(T, nd)),
+            "contact_mask": rng.uniform(size=(T, 2))}
+    ref = {"body_pos": rng.normal(size=(T, B, 3)), "dof_pos": rng.normal(size=(T, nd)),
+           "contact_mask": rng.uniform(size=(T, 2))}
+    acc = eval_accuracy(traj, ref, dt=0.02)  # dt must be ignored per-frame
+
+    dof_err = np.linalg.norm(traj["dof_pos"] - ref["dof_pos"], axis=-1).mean() * 1e3
+    assert acc["E_mpjpe"] == pytest.approx(dof_err, rel=1e-6)
+
+    dv = np.diff(traj["dof_pos"], axis=0) - np.diff(ref["dof_pos"], axis=0)
+    assert acc["E_mpjve"] == pytest.approx(
+        np.linalg.norm(dv, axis=-1).mean() * 1e3, rel=1e-6)
+    da = (np.diff(traj["dof_pos"], 2, axis=0) - np.diff(ref["dof_pos"], 2, axis=0))
+    assert acc["E_mpjae"] == pytest.approx(
+        np.linalg.norm(da, axis=-1).mean() * 1e3, rel=1e-6)
+
+    bv = np.diff(traj["body_pos"], axis=0) - np.diff(ref["body_pos"], axis=0)
+    assert acc["E_pbve"] == pytest.approx(
+        np.linalg.norm(bv, axis=-1).mean() * 1e3, rel=1e-6)
+    assert acc["E_root_vel"] == pytest.approx(
+        np.linalg.norm(bv[:, 0], axis=-1).mean() * 1e3, rel=1e-6)
+    assert acc["E_contact_acc"] == pytest.approx(
+        np.abs(traj["contact_mask"] - ref["contact_mask"]).mean() * 1e3, rel=1e-6)
+
+    sm = eval_smoothness(traj, dt=0.02)
+    assert sm["L2_dof_jerk"] == pytest.approx(
+        np.linalg.norm(np.diff(traj["dof_pos"], 3, axis=0), axis=-1).mean() * 1e3,
+        rel=1e-6)
 
 
 @pytest.fixture(scope="module")

@@ -34,7 +34,7 @@ def main():
     print("from docs/GOLDEN_METRICS.json where they exist.")
     print()
     print("| clip | in-engine completion | sim2sim stands (final z) "
-          "| sim2sim E_mpjpe (mm) | L2_dof_jerk | note |")
+          "| sim2sim E_mpjpe | L2_dof_jerk | note |")
     print("|---|---|---|---|---|---|")
 
     punch = os.path.join(HERE, "docs", "punch_final_eval.json")
@@ -56,7 +56,7 @@ def main():
         print()
         print("Reference-pretrained anchors (same sim2sim + metric pipeline):")
         print()
-        print("| reference policy | E_mpjpe (mm) | final z |")
+        print("| reference policy | E_mpjpe | final z |")
         print("|---|---|---|")
         for k, v in g.items():
             if not isinstance(v, dict):

@@ -17,6 +17,14 @@ set -u
 PYTEST=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE python -m pytest)
 if [ "${PBHC_SLOW:-0}" != "1" ]; then
   PYTEST+=(-m "not slow")
+  NSLOW=$(grep -rl "pytest.mark.slow" "$(dirname "$0")/../tests" 2>/dev/null | wc -l)
+  echo "=============================================================" >&2
+  echo "[run_tests] FAST mode: 'slow'-marked tests are DESELECTED" >&2
+  echo "[run_tests] (~$NSLOW files carry slow marks: PPO-learns, lanes" >&2
+  echo "[run_tests] parity, distill modes, artifact-mirror recovery)." >&2
+  echo "[run_tests] A green fast run does NOT cover those paths — run" >&2
+  echo "[run_tests] PBHC_SLOW=1 bash tools/run_tests.sh tests/ -q  for CI." >&2
+  echo "=============================================================" >&2
 fi
 
 if [ $# -ge 1 ] && [ -d "$1" ]; then
