@@ -73,6 +73,7 @@ CONFIGS = [
                          "simulator.config.pos_iters=4"]),
     # round-3 class-aware pair budgets (shipped default = pair4)
     ("pair4", 4096, []),
+    ("pair3", 4096, ["simulator.config.pair_cap=3"]),
     ("pair2", 4096, ["simulator.config.pair_cap=2"]),
     ("pair0_global_top8", 4096, ["simulator.config.pair_cap=0"]),
     ("pair4_bf16", 4096, ["simulator.config.contact_matvec_dtype=bfloat16"]),
