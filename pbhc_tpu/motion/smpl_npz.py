@@ -145,10 +145,31 @@ def smpl_fk(poses, trans, offsets=None):
     return gp
 
 
-def npz_to_joints(path) -> tuple[np.ndarray, float]:
+def _model_offsets(betas, smpl_model=None):
+    """Rest offsets from a user-supplied SMPL body model, or None.
+
+    When the user drops in a model file (explicit path, $SMPL_MODEL_PATH, or
+    assets/body_models/ — the reference's ``body_model/`` convention), FK
+    uses the true betas-regressed skeleton instead of the neutral mean-shape
+    approximation (the reference's shape-fit role, fit_smpl_shape.py)."""
+    from pbhc_tpu.motion.smpl_model import (find_model_file, load_smpl_model,
+                                            rest_offsets_from_model)
+
+    mp = find_model_file(smpl_model)
+    if mp is None:
+        return None
+    off = rest_offsets_from_model(load_smpl_model(mp), betas)
+    if off.shape[0] != 24:
+        raise ValueError(f"body model has {off.shape[0]} joints; SMPL FK "
+                         "needs the 24-joint body")
+    return off
+
+
+def npz_to_joints(path, smpl_model=None) -> tuple[np.ndarray, float]:
     """SMPL npz -> z-up world joint positions [T,24,3] + fps."""
     d = load_smpl_npz(path)
-    return smpl_fk(d["poses"], d["trans"]), d["fps"]
+    off = _model_offsets(d["betas"], smpl_model)
+    return smpl_fk(d["poses"], d["trans"], offsets=off), d["fps"]
 
 
 def _rest_pelvis_drop(model) -> float:
@@ -172,7 +193,7 @@ def _rest_pelvis_drop(model) -> float:
 
 
 def npz_to_clip(path, model=None, min_height=None, scale=None,
-                **retarget_kw) -> dict:
+                smpl_model=None, **retarget_kw) -> dict:
     """Full contract: SMPL npz -> retargeted G1 motion clip dict.
 
     Mirrors the reference npz->pkl stage (convert_fit_motion.py:84-390):
@@ -185,16 +206,20 @@ def npz_to_clip(path, model=None, min_height=None, scale=None,
     from pbhc_tpu.model.g1 import load_g1_motion_model
     from pbhc_tpu.motion.retarget import retarget_smpl_joints
 
-    joints, fps = npz_to_joints(path)
+    d = load_smpl_npz(path)
+    off = _model_offsets(d["betas"], smpl_model)
+    joints = smpl_fk(d["poses"], d["trans"], offsets=off)
+    fps = d["fps"]
     feet = joints[:, [7, 8, 10, 11], 2]
     floor = feet.min() if min_height is None else min_height
     joints = joints - np.asarray([0.0, 0.0, floor])
     if model is None:
         model = load_g1_motion_model()
     if scale is None:
-        # pelvis->ankle vertical drop at rest, SMPL mean shape vs robot
-        smpl_drop = -(SMPL_NEUTRAL_OFFSETS[1, 1] + SMPL_NEUTRAL_OFFSETS[4, 1]
-                      + SMPL_NEUTRAL_OFFSETS[7, 1])
+        # pelvis->ankle vertical drop at rest (actual shape when a body
+        # model is supplied, SMPL mean shape otherwise) vs robot
+        o = SMPL_NEUTRAL_OFFSETS if off is None else off
+        smpl_drop = -(o[1, 1] + o[4, 1] + o[7, 1])
         scale = _rest_pelvis_drop(model) / smpl_drop
     joints = joints * scale          # about the ground plane: z=0 invariant
     clip = retarget_smpl_joints(model, joints.astype(np.float32), fps=fps,
@@ -243,12 +268,15 @@ def main(argv=None):
     ap.add_argument("--name", default=None, help="motion key (default: npz stem)")
     ap.add_argument("--iters", type=int, default=600)
     ap.add_argument("--robot", default="g1_23dof_lock_wrist")
+    ap.add_argument("--smpl-model", default=None,
+                    help="SMPL body-model file (betas-correct skeleton)")
     args = ap.parse_args(argv)
 
     from pbhc_tpu.model.g1 import load_g1_motion_model
 
     model = load_g1_motion_model(args.robot)
-    clip = npz_to_clip(args.npz, model=model, iters=args.iters, verbose=True)
+    clip = npz_to_clip(args.npz, model=model, iters=args.iters,
+                       smpl_model=args.smpl_model, verbose=True)
     name = args.name or args.npz.rsplit("/", 1)[-1].removesuffix(".npz")
     joblib.dump({name: clip}, args.out_pkl, compress=3)
     print(f"[smpl_npz] wrote {args.out_pkl}: T={clip['dof'].shape[0]} "

@@ -11,10 +11,10 @@ while [ ! -f /tmp/bench_r4.json ]; do
 done
 cd /root/repo
 
-# third golden clip only if there is ~1h45m of headroom (round ends ~03:10):
-# start it between 19:00 and 01:20 local
+# third golden clip only if there is ~1h45m of headroom (session restarted
+# 21:40, ends ~05:40): start it between 19:00 and 03:40 local
 MIN=$(( 10#$(date +%H) * 60 + 10#$(date +%M) ))
-if [ ! -f /tmp/round4_stop ] && { [ $MIN -ge 1140 ] || [ $MIN -lt 80 ]; }; then
+if [ ! -f /tmp/round4_stop ] && { [ $MIN -ge 1140 ] || [ $MIN -lt 220 ]; }; then
   bash tools/golden_table.sh 6000 Hooks_punch
 fi
 
