@@ -89,7 +89,8 @@ class OpenLoopReplayCallback(RLEvalCallback):
         import joblib
 
         mf = motion_file or str(env.config.robot.motion.motion_file)
-        raw = joblib.load(mf)
+        from pbhc_tpu.motion.motion_lib import _load_raw
+        raw = _load_raw(mf)
         clip = raw[next(iter(raw.keys()))]
         if "action" not in clip:
             raise ValueError(f"{mf} carries no recorded actions for open-loop replay")

@@ -72,6 +72,30 @@ def _compute_angular_velocity(q_xyzw: np.ndarray, dt: float) -> np.ndarray:
     return gaussian_filter1d(w, 2, axis=0, mode="nearest")
 
 
+def _load_raw(motion_file) -> dict:
+    """Load a motion library: a single pkl, or a DIRECTORY of pkls.
+
+    The reference points motion_file at a folder for multi-motion training
+    (reference scripts/train/test.sh ``motion_file=.../example/motion_data``;
+    motion_lib_base.py loads every pkl inside). Directory members are merged
+    in sorted-filename order; a clip key that collides across files is
+    disambiguated with the source file's stem."""
+    import os
+
+    if not os.path.isdir(motion_file):
+        return joblib.load(motion_file)
+    names = sorted(f for f in os.listdir(motion_file) if f.endswith(".pkl"))
+    if not names:
+        raise ValueError(f"{motion_file}: directory contains no .pkl motions")
+    raw = {}
+    for name in names:
+        part = joblib.load(os.path.join(motion_file, name))
+        stem = name[: -len(".pkl")]
+        for k, v in part.items():
+            raw[f"{stem}/{k}" if k in raw else k] = v
+    return raw
+
+
 class MotionLib:
     """Holds clips and serves get_motion_state. `num_envs` motions are assigned
     per env (with replacement when the library is smaller)."""
@@ -123,11 +147,20 @@ class MotionLib:
         if root in ("0", ""):
             return None
         try:
-            st = os.stat(motion_file)
+            if os.path.isdir(motion_file):
+                # directory library: key on every member file's identity
+                ident = tuple(
+                    (f, os.stat(os.path.join(motion_file, f)).st_size,
+                     int(os.stat(os.path.join(motion_file, f)).st_mtime))
+                    for f in sorted(os.listdir(motion_file))
+                    if f.endswith(".pkl"))
+            else:
+                st = os.stat(motion_file)
+                ident = (st.st_size, int(st.st_mtime))
         except OSError:
             return None
         m = self.model
-        sig = repr((os.path.abspath(motion_file), st.st_size, int(st.st_mtime),
+        sig = repr((os.path.abspath(motion_file), ident,
                     self.fix_height, tuple(m.body_names), tuple(m.dof_names),
                     len(np.asarray(m.contact_body))))
         h = hashlib.sha1(sig.encode()).hexdigest()[:16]
@@ -137,7 +170,7 @@ class MotionLib:
 
     # ------------------------------------------------------------------ load
     def _load(self, motion_file):
-        raw = joblib.load(motion_file)
+        raw = _load_raw(motion_file)
         self._keys = list(raw.keys())
         self.num_unique = len(self._keys)
 

@@ -194,3 +194,35 @@ def test_motion_lib_cache_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("PBHC_MOTION_CACHE", "0")
     MotionLib(mf, model, 2, 0.02)
     assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 2
+
+
+def test_motion_lib_directory_library(tmp_path, monkeypatch):
+    """motion_file may be a DIRECTORY of pkls (the reference's multi-motion
+    idiom: scripts/train/test.sh points motion_file at example/motion_data).
+    Members merge in sorted order; key collisions get the file-stem prefix;
+    the post-FK cache keys on the member files' identity."""
+    import shutil
+
+    from pbhc_tpu.model.g1 import load_g1_motion_model
+    from pbhc_tpu.motion.motion_lib import MotionLib, _load_raw
+
+    lib = tmp_path / "motions"
+    lib.mkdir()
+    shutil.copy("/root/repo/assets/motions/Horse-stance_pose.pkl", lib / "a.pkl")
+    shutil.copy("/root/repo/assets/motions/Hooks_punch.pkl", lib / "b.pkl")
+    shutil.copy("/root/repo/assets/motions/Horse-stance_pose.pkl", lib / "c.pkl")
+
+    raw = _load_raw(str(lib))
+    assert len(raw) == 3  # duplicate key from c.pkl got the stem prefix
+    assert any(k.startswith("c/") for k in raw)
+
+    monkeypatch.setenv("PBHC_MOTION_CACHE", str(tmp_path / "cache"))
+    model = load_g1_motion_model()
+    ml = MotionLib(str(lib), model, 2, 0.02)
+    assert ml.num_unique == 3
+    assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 1
+    # adding a member invalidates the cache key
+    shutil.copy("/root/repo/assets/motions/Hooks_punch.pkl", lib / "d.pkl")
+    ml2 = MotionLib(str(lib), model, 2, 0.02)
+    assert ml2.num_unique == 4
+    assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 2
