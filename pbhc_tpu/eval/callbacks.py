@@ -86,11 +86,10 @@ class OpenLoopReplayCallback(RLEvalCallback):
 
     def __init__(self, config, env, motion_file=None):
         super().__init__(config, env)
-        import joblib
+        from pbhc_tpu.motion.motion_lib import load_motion_dict
 
         mf = motion_file or str(env.config.robot.motion.motion_file)
-        from pbhc_tpu.motion.motion_lib import _load_raw
-        raw = _load_raw(mf)
+        raw = load_motion_dict(mf)
         clip = raw[next(iter(raw.keys()))]
         if "action" not in clip:
             raise ValueError(f"{mf} carries no recorded actions for open-loop replay")

@@ -30,7 +30,11 @@ def _fd(x, delta, order=1):
 
 def _delta(dt, delta_per_frame):
     # reference measure_traj.py:169-173 — delta=1 per frame, else delta=fps
-    return 1.0 if delta_per_frame else 1.0 / float(dt)
+    if delta_per_frame:
+        return 1.0
+    if dt is None:
+        raise ValueError("delta_per_frame=False requires dt (per-second units)")
+    return 1.0 / float(dt)
 
 
 def eval_accuracy(traj: dict, ref: dict, dt: float | None = None,

@@ -72,7 +72,7 @@ def _compute_angular_velocity(q_xyzw: np.ndarray, dt: float) -> np.ndarray:
     return gaussian_filter1d(w, 2, axis=0, mode="nearest")
 
 
-def _load_raw(motion_file) -> dict:
+def load_motion_dict(motion_file) -> dict:
     """Load a motion library: a single pkl, or a DIRECTORY of pkls.
 
     The reference points motion_file at a folder for multi-motion training
@@ -170,7 +170,7 @@ class MotionLib:
 
     # ------------------------------------------------------------------ load
     def _load(self, motion_file):
-        raw = _load_raw(motion_file)
+        raw = load_motion_dict(motion_file)
         self._keys = list(raw.keys())
         self.num_unique = len(self._keys)
 

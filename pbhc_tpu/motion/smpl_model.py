@@ -71,7 +71,13 @@ def _to_dense(v):
 
 def find_model_file(path=None):
     """Resolve an SMPL model file: explicit path, $SMPL_MODEL_PATH, or the
-    assets/body_models drop-in locations. Returns None when absent."""
+    assets/body_models drop-in locations. Returns None when absent.
+
+    An EXPLICITLY requested path that does not exist raises — silently falling
+    back to the mean-shape skeleton is the exact approximation the argument
+    exists to avoid."""
+    if path and not os.path.exists(path):
+        raise FileNotFoundError(f"SMPL model file not found: {path}")
     candidates = [path, os.environ.get("SMPL_MODEL_PATH")]
     repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     candidates += [os.path.join(repo, p) for p in DEFAULT_MODEL_PATHS]

@@ -38,11 +38,10 @@ def render_motion(motion_file, out_path, robot_type="g1_23dof_lock_wrist",
 
     from pbhc_tpu.model.g1 import load_g1_motion_model
     from pbhc_tpu.model.kinematics import fk_pose_aa
-    import joblib
+    from pbhc_tpu.motion.motion_lib import load_motion_dict
 
     model = load_g1_motion_model(robot_type)
-    from pbhc_tpu.motion.motion_lib import _load_raw
-    clip = next(iter(_load_raw(motion_file).values()))
+    clip = next(iter(load_motion_dict(motion_file).values()))
     pose_aa = jnp.asarray(clip["pose_aa"][::stride][:max_frames])
     trans = jnp.asarray(clip["root_trans_offset"][::stride][:max_frames])
     p, _ = jax.jit(jax.vmap(fk_pose_aa, in_axes=(None, 0, 0)), static_argnums=0)(model, pose_aa, trans)

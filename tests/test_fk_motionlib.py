@@ -201,18 +201,20 @@ def test_motion_lib_directory_library(tmp_path, monkeypatch):
     idiom: scripts/train/test.sh points motion_file at example/motion_data).
     Members merge in sorted order; key collisions get the file-stem prefix;
     the post-FK cache keys on the member files' identity."""
+    import pathlib
     import shutil
 
     from pbhc_tpu.model.g1 import load_g1_motion_model
-    from pbhc_tpu.motion.motion_lib import MotionLib, _load_raw
+    from pbhc_tpu.motion.motion_lib import MotionLib, load_motion_dict
 
+    assets = pathlib.Path(__file__).resolve().parents[1] / "assets" / "motions"
     lib = tmp_path / "motions"
     lib.mkdir()
-    shutil.copy("/root/repo/assets/motions/Horse-stance_pose.pkl", lib / "a.pkl")
-    shutil.copy("/root/repo/assets/motions/Hooks_punch.pkl", lib / "b.pkl")
-    shutil.copy("/root/repo/assets/motions/Horse-stance_pose.pkl", lib / "c.pkl")
+    shutil.copy(assets / "Horse-stance_pose.pkl", lib / "a.pkl")
+    shutil.copy(assets / "Hooks_punch.pkl", lib / "b.pkl")
+    shutil.copy(assets / "Horse-stance_pose.pkl", lib / "c.pkl")
 
-    raw = _load_raw(str(lib))
+    raw = load_motion_dict(str(lib))
     assert len(raw) == 3  # duplicate key from c.pkl got the stem prefix
     assert any(k.startswith("c/") for k in raw)
 
@@ -222,7 +224,7 @@ def test_motion_lib_directory_library(tmp_path, monkeypatch):
     assert ml.num_unique == 3
     assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 1
     # adding a member invalidates the cache key
-    shutil.copy("/root/repo/assets/motions/Hooks_punch.pkl", lib / "d.pkl")
+    shutil.copy(assets / "Hooks_punch.pkl", lib / "d.pkl")
     ml2 = MotionLib(str(lib), model, 2, 0.02)
     assert ml2.num_unique == 4
     assert len(list((tmp_path / "cache").glob("mlib_*.npz"))) == 2

@@ -191,7 +191,11 @@ def test_official_pkl_layout_chumpy_and_sparse(tmp_path):
 
 def test_find_model_file_env_and_absent(tmp_path, monkeypatch):
     monkeypatch.delenv("SMPL_MODEL_PATH", raising=False)
-    assert find_model_file("/nonexistent/x.pkl") is None
+    # an EXPLICITLY requested path that is absent raises (silent fallback to
+    # the mean-shape skeleton is the approximation the arg exists to avoid)
+    with pytest.raises(FileNotFoundError):
+        find_model_file("/nonexistent/x.pkl")
+    assert find_model_file(None) is None
     p = _save_npz(_toy_model(), tmp_path / "m.npz")
     assert find_model_file(p) == p
     monkeypatch.setenv("SMPL_MODEL_PATH", p)

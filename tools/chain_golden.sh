@@ -18,7 +18,11 @@ for CLIP in Side_kick Roundhouse_kick; do
   bash tools/golden_table.sh 6000 "$CLIP"
 done
 
-# prime the driver's bench on the freed TPU and record the round-4 number
+# prime the driver's bench on the freed TPU and record the round-4 number.
+# Write to a temp path and mv into place: /tmp/bench_r4.json is
+# round4_wrapup.sh's go-sentinel, and creating it at pipeline START would
+# launch wrapup's TPU training while bench still holds the exclusive chip.
 [ -f /tmp/round4_stop ] && exit 0
-python bench.py | tee /tmp/bench_r4.json
+python bench.py > /tmp/bench_r4.json.tmp && mv /tmp/bench_r4.json.tmp /tmp/bench_r4.json
+cat /tmp/bench_r4.json
 echo "[golden] chain done"

@@ -56,7 +56,8 @@ def main():
                     x = jax.nn.elu(x)
             return x, None
 
-    num_steps = int(np.ceil(float(env.motion_lib.data.lengths[0]) / env.dt))
+    # int() truncation to match eval_agent.py:164 (comparable step counts)
+    num_steps = int(float(env.motion_lib.data.lengths[0]) / env.dt)
     traj, ref, dones = rollout_jax(env, _Actor(), None, num_steps,
                                    jax.random.PRNGKey(1))
     acc = eval_accuracy(traj, ref, env.dt)

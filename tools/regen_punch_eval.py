@@ -9,9 +9,11 @@ ratio_eps.py:69-70). CPU-only.
 Usage: python tools/regen_punch_eval.py [out.json]
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import jax
 
@@ -20,8 +22,8 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
-NPZ = "/root/repo/docs/punch_final_policy.npz"
-MOTION = "/root/repo/assets/motions/Horse-stance_punch.pkl"
+NPZ = os.path.join(REPO, "docs/punch_final_policy.npz")
+MOTION = os.path.join(REPO, "assets/motions/Horse-stance_punch.pkl")
 
 
 def main():
@@ -36,7 +38,7 @@ def main():
 
     pol = NumpyPolicy(NPZ)
     cfg = compose(
-        "/root/repo/pbhc_tpu/config",
+        os.path.join(REPO, "pbhc_tpu/config"),
         ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
          "rewards=motion_tracking", "domain_rand=main", "simulator=tpu"],
         ["num_envs=1", f"robot.motion.motion_file={MOTION}"],
@@ -54,7 +56,9 @@ def main():
                     x = jax.nn.elu(x)
             return x, None
 
-    num_steps = int(np.ceil(float(env.motion_lib.data.lengths[0]) / env.dt))
+    # int() truncation, NOT ceil — must match eval_agent.py:164 exactly so the
+    # regenerated numbers are bit-comparable to an eval_agent run
+    num_steps = int(float(env.motion_lib.data.lengths[0]) / env.dt)
     traj, ref, dones = rollout_jax(env, _Actor(), None, num_steps,
                                    jax.random.PRNGKey(1))
     results = {

@@ -9,9 +9,16 @@
 set -u
 TOTAL=$1; shift
 
+# A backgrounded child in a non-interactive shell inherits SIGINT/SIGQUIT
+# ignored (POSIX), so Ctrl-C / kill -INT on this wrapper would orphan the
+# trainer on the exclusive TPU tunnel. Forward a TERM (which python honors)
+# to the recorded pid instead.
+trap 'kill -TERM "$(cat /tmp/train_active.pid 2>/dev/null)" 2>/dev/null; exit 130' INT TERM
+
 while true; do
   # record the active trainer PID so a supervisor can stop the run cleanly
-  # (never kill by pattern on this host — see repo guidelines)
+  # with `kill $(cat /tmp/train_active.pid)` (SIGTERM; never kill by
+  # pattern on this host — see repo guidelines)
   python -u -m pbhc_tpu.train "$@" \
       auto_load_latest=true "total_iterations=$TOTAL" &
   echo $! > /tmp/train_active.pid
