@@ -22,6 +22,9 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
