@@ -1,0 +1,103 @@
+"""MuJoCo fleet mirror: K MuJoCo twins driven by one batched env state.
+
+The bridge that lets MuJoCo act as the DYNAMICS inside the training env's
+observation pipeline: initialize K `MjData` from a batched engine `SimState`,
+PD-step them under policy actions, and read the batch back in the engine's
+conventions (xyzw quaternions, WORLD-frame angular velocity — MuJoCo free
+joints store wxyz and BODY-frame angular velocity, reference
+deploy/mujoco.py:336,383). Consumers: tools/mj_closed_loop.py (sim2sim
+oracle for flax checkpoints, incl. privileged teachers) and
+tools/mj_dagger.py (sim2sim DAgger — teacher labels on MuJoCo-visited
+states). No reference analog: the reference validates in MuJoCo but never
+feeds MuJoCo states back into its training stack.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MjFleet:
+    """K independent MuJoCo twins of the env's robot, PD-driven at 50 Hz."""
+
+    def __init__(self, env, k, sim_fps=500, decimation=10):
+        import mujoco
+
+        from pbhc_tpu.model.g1 import g1_asset_root
+
+        self.mujoco = mujoco
+        self.k = k
+        self.decimation = int(decimation)
+        robot_type = str(env.config.robot.robot_type)
+        self.m = mujoco.MjModel.from_xml_path(str(g1_asset_root() / f"{robot_type}.xml"))
+        self.m.opt.timestep = 1.0 / sim_fps
+        # the G1 MJCF <default> leaks armature/damping 0 onto some variants
+        if float(np.max(self.m.dof_armature[6:])) == 0.0:
+            self.m.dof_armature[6:] = 0.01
+        if float(np.max(self.m.dof_damping[6:])) == 0.0:
+            self.m.dof_damping[6:] = 0.001
+        self.d = [mujoco.MjData(self.m) for _ in range(k)]
+        self.kp = np.asarray(env.p_gains)
+        self.kd = np.asarray(env.d_gains)
+        self.tl = np.asarray(env.torque_limits)
+        self.asc = np.asarray(env.action_scales)
+        self.ds = np.asarray(env.raw_default_dof_pos)
+
+    def set_from(self, sim, i):
+        """MjData[i] <- engine SimState row i (xyzw->wxyz, world->body w)."""
+        from pbhc_tpu.deploy.student_obs import quat_rotate_inverse
+
+        d = self.d[i]
+        d.qpos[:3] = np.asarray(sim.root_pos[i])
+        d.qpos[3:7] = np.asarray(sim.root_quat[i])[[3, 0, 1, 2]]
+        d.qpos[7:] = np.asarray(sim.dof_pos[i])
+        d.qvel[:3] = np.asarray(sim.root_lin_vel[i])
+        d.qvel[3:6] = quat_rotate_inverse(np.asarray(sim.root_quat[i]),
+                                          np.asarray(sim.root_ang_vel[i]))
+        d.qvel[6:] = np.asarray(sim.dof_vel[i])
+        self.mujoco.mj_forward(self.m, d)
+
+    def step(self, actions, alive=None):
+        """One 50 Hz control tick: deploy PD loop per alive twin."""
+        for i in range(self.k):
+            if alive is not None and not alive[i]:
+                continue
+            d = self.d[i]
+            target = actions[i] * self.asc + self.ds
+            for _ in range(self.decimation):
+                tau = self.kp * (target - d.qpos[7:]) - self.kd * d.qvel[6:]
+                d.qfrc_applied[:] = 0
+                d.qfrc_applied[6:] = np.clip(tau, -self.tl, self.tl)
+                self.mujoco.mj_step(self.m, d)
+
+    def read_batch(self):
+        """Stack MuJoCo states in ENGINE conventions:
+        (pos [K,3], quat_xyzw [K,4], lin_vel_world, ang_vel_world, q, dq)."""
+        from pbhc_tpu.maths.rotations import quat_rotate
+
+        P, Q, LV, AV, QQ, DQ = [], [], [], [], [], []
+        for d in self.d:
+            quat = np.asarray(d.qpos[3:7])[[1, 2, 3, 0]]
+            P.append(np.asarray(d.qpos[:3]))
+            Q.append(quat)
+            LV.append(np.asarray(d.qvel[:3]))
+            AV.append(np.asarray(quat_rotate(jnp.asarray(quat), jnp.asarray(d.qvel[3:6]))))
+            QQ.append(np.asarray(d.qpos[7:]))
+            DQ.append(np.asarray(d.qvel[6:]))
+        return (np.stack(P), np.stack(Q), np.stack(LV),
+                np.stack(AV), np.stack(QQ), np.stack(DQ))
+
+    def inject(self, state_sim):
+        """Batched engine SimState fields <- current MuJoCo states (no
+        derived-cache refresh; call env.engine.derived_state after)."""
+        P, Q, LV, AV, QQ, DQ = self.read_batch()
+        return dataclasses.replace(
+            state_sim,
+            root_pos=jnp.asarray(P, jnp.float32),
+            root_quat=jnp.asarray(Q, jnp.float32),
+            root_lin_vel=jnp.asarray(LV, jnp.float32),
+            root_ang_vel=jnp.asarray(AV, jnp.float32),
+            dof_pos=jnp.asarray(QQ, jnp.float32),
+            dof_vel=jnp.asarray(DQ, jnp.float32))

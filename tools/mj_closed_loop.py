@@ -57,11 +57,8 @@ def main(argv=None):
     sim_fps = int(kv.get("sim_fps", 500))
     decimation = int(kv.get("decimation", 10))
 
-    import mujoco
-
-    from pbhc_tpu.deploy.student_obs import quat_rotate_inverse
+    from pbhc_tpu.deploy.mj_mirror import MjFleet
     from pbhc_tpu.eval.batch_eval import _load
-    from pbhc_tpu.maths.rotations import quat_rotate
     from pbhc_tpu.motion.motion_lib import get_motion_state
 
     env, algo, payload = _load(ckpt, 1, DR_OFF)
@@ -86,31 +83,8 @@ def main(argv=None):
     state = dataclasses.replace(state, history=hist)
 
     # MuJoCo twin, initialized to the env's reset state
-    from pbhc_tpu.model.g1 import g1_asset_root
-
-    robot_type = str(env.config.robot.robot_type)
-    m = mujoco.MjModel.from_xml_path(str(g1_asset_root() / f"{robot_type}.xml"))
-    m.opt.timestep = 1.0 / sim_fps
-    if float(np.max(m.dof_armature[6:])) == 0.0:
-        m.dof_armature[6:] = 0.01
-    if float(np.max(m.dof_damping[6:])) == 0.0:
-        m.dof_damping[6:] = 0.001
-    d = mujoco.MjData(m)
-    s0 = state.sim
-    d.qpos[:3] = np.asarray(s0.root_pos[0])
-    d.qpos[3:7] = np.asarray(s0.root_quat[0])[[3, 0, 1, 2]]
-    d.qpos[7:] = np.asarray(s0.dof_pos[0])
-    d.qvel[:3] = np.asarray(s0.root_lin_vel[0])
-    d.qvel[3:6] = quat_rotate_inverse(np.asarray(s0.root_quat[0]),
-                                      np.asarray(s0.root_ang_vel[0]))
-    d.qvel[6:] = np.asarray(s0.dof_vel[0])
-    mujoco.mj_forward(m, d)
-
-    kp = np.asarray(env.p_gains)
-    kd = np.asarray(env.d_gains)
-    tl = np.asarray(env.torque_limits)
-    asc = np.asarray(env.action_scales)
-    ds = np.asarray(env.raw_default_dof_pos)
+    fleet = MjFleet(env, 1, sim_fps=sim_fps, decimation=decimation)
+    fleet.set_from(state.sim, 0)
 
     refresh = jax.jit(lambda sim: jax.vmap(env.engine.derived_state)(env.sim_params, sim))
     compute_obs = jax.jit(env._compute_observations)
@@ -124,25 +98,8 @@ def main(argv=None):
     rows = []
     for t in range(min(steps, n_ref)):
         a = np.clip(np.asarray(act(obs))[0], -env.action_clip, env.action_clip)
-        target = a * asc + ds
-        for _ in range(decimation):
-            tau = kp * (target - d.qpos[7:]) - kd * d.qvel[6:]
-            d.qfrc_applied[:] = 0
-            d.qfrc_applied[6:] = np.clip(tau, -tl, tl)
-            mujoco.mj_step(m, d)
-        # env sim state <- MuJoCo (wxyz->xyzw; body-frame ang vel -> world)
-        quat_xyzw = np.asarray(d.qpos[3:7])[[1, 2, 3, 0]]
-        w_world = np.asarray(quat_rotate(jnp.asarray(quat_xyzw), jnp.asarray(d.qvel[3:6])))
-        sim = dataclasses.replace(
-            state.sim,
-            root_pos=jnp.asarray(d.qpos[None, :3], jnp.float32),
-            root_quat=jnp.asarray(quat_xyzw[None], jnp.float32),
-            root_lin_vel=jnp.asarray(d.qvel[None, :3], jnp.float32),
-            root_ang_vel=jnp.asarray(w_world[None], jnp.float32),
-            dof_pos=jnp.asarray(d.qpos[None, 7:], jnp.float32),
-            dof_vel=jnp.asarray(d.qvel[None, 6:], jnp.float32),
-        )
-        sim = refresh(sim)
+        fleet.step(a[None])
+        sim = refresh(fleet.inject(state.sim))
         a_j = jnp.asarray(a[None], jnp.float32)
         state = dataclasses.replace(
             state, sim=sim,
@@ -152,9 +109,10 @@ def main(argv=None):
         obs, hist = compute_obs(state, keys[t])
         state = dataclasses.replace(state, history=hist)
 
+        quat_xyzw = np.asarray(sim.root_quat[0])
         roll, pitch = _roll_pitch(quat_xyzw)
-        rows.append((t, float(d.qpos[2]), roll, pitch,
-                     float(np.abs(d.qpos[7:] - ref_dof[t]).max())))
+        rows.append((t, float(sim.root_pos[0][2]), roll, pitch,
+                     float(np.abs(np.asarray(sim.dof_pos[0]) - ref_dof[t]).max())))
 
     print(f"--- mujoco closed loop (flax policy, env obs) fps={sim_fps} "
           f"decim={decimation} ---")

@@ -89,72 +89,6 @@ def _build(ckpt_path, k_envs):
     return env, algo, teacher, payload
 
 
-class MjFleet:
-    """K independent MuJoCo twins driven by one batched env-state mirror."""
-
-    def __init__(self, env, k):
-        import mujoco
-
-        from pbhc_tpu.model.g1 import g1_asset_root
-
-        self.mujoco = mujoco
-        self.k = k
-        robot_type = str(env.config.robot.robot_type)
-        self.m = mujoco.MjModel.from_xml_path(str(g1_asset_root() / f"{robot_type}.xml"))
-        self.m.opt.timestep = 1.0 / 500.0
-        if float(np.max(self.m.dof_armature[6:])) == 0.0:
-            self.m.dof_armature[6:] = 0.01
-        if float(np.max(self.m.dof_damping[6:])) == 0.0:
-            self.m.dof_damping[6:] = 0.001
-        self.d = [mujoco.MjData(self.m) for _ in range(k)]
-        self.kp = np.asarray(env.p_gains)
-        self.kd = np.asarray(env.d_gains)
-        self.tl = np.asarray(env.torque_limits)
-        self.asc = np.asarray(env.action_scales)
-        self.ds = np.asarray(env.raw_default_dof_pos)
-
-    def set_from(self, sim, i):
-        from pbhc_tpu.deploy.student_obs import quat_rotate_inverse
-
-        d = self.d[i]
-        d.qpos[:3] = np.asarray(sim.root_pos[i])
-        d.qpos[3:7] = np.asarray(sim.root_quat[i])[[3, 0, 1, 2]]
-        d.qpos[7:] = np.asarray(sim.dof_pos[i])
-        d.qvel[:3] = np.asarray(sim.root_lin_vel[i])
-        d.qvel[3:6] = quat_rotate_inverse(np.asarray(sim.root_quat[i]),
-                                          np.asarray(sim.root_ang_vel[i]))
-        d.qvel[6:] = np.asarray(sim.dof_vel[i])
-        self.mujoco.mj_forward(self.m, d)
-
-    def step(self, actions, alive, decimation=10):
-        for i in range(self.k):
-            if not alive[i]:
-                continue
-            d = self.d[i]
-            target = actions[i] * self.asc + self.ds
-            for _ in range(decimation):
-                tau = self.kp * (target - d.qpos[7:]) - self.kd * d.qvel[6:]
-                d.qfrc_applied[:] = 0
-                d.qfrc_applied[6:] = np.clip(tau, -self.tl, self.tl)
-                self.mujoco.mj_step(self.m, d)
-
-    def read_batch(self):
-        """Stack MuJoCo states -> (pos, quat_xyzw, linvel, angvel_world, q, dq)."""
-        from pbhc_tpu.maths.rotations import quat_rotate
-
-        P, Q, LV, AV, QQ, DQ = [], [], [], [], [], []
-        for d in self.d:
-            quat = np.asarray(d.qpos[3:7])[[1, 2, 3, 0]]
-            P.append(np.asarray(d.qpos[:3]))
-            Q.append(quat)
-            LV.append(np.asarray(d.qvel[:3]))
-            AV.append(np.asarray(quat_rotate(jnp.asarray(quat), jnp.asarray(d.qvel[3:6]))))
-            QQ.append(np.asarray(d.qpos[7:]))
-            DQ.append(np.asarray(d.qvel[6:]))
-        return (np.stack(P), np.stack(Q), np.stack(LV),
-                np.stack(AV), np.stack(QQ), np.stack(DQ))
-
-
 def main(argv=None):
     kv = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
     ckpt = kv["checkpoint"]
@@ -168,6 +102,7 @@ def main(argv=None):
     import optax
 
     from pbhc_tpu.agents.mimic_networks import MimicActorCritic
+    from pbhc_tpu.deploy.mj_mirror import MjFleet
 
     env, algo, (t_apply, t_params), payload = _build(ckpt, K)
     params = payload["params"] if "params" in payload else payload["actor_params"]
@@ -232,16 +167,8 @@ def main(argv=None):
             data["teacher_actions"].append(a_t[alive])
 
             fleet.step(exec_a, alive)
-            P, Q, LV, AV, QQ, DQ = fleet.read_batch()
-            sim = dataclasses.replace(
-                state.sim,
-                root_pos=jnp.asarray(P, jnp.float32),
-                root_quat=jnp.asarray(Q, jnp.float32),
-                root_lin_vel=jnp.asarray(LV, jnp.float32),
-                root_ang_vel=jnp.asarray(AV, jnp.float32),
-                dof_pos=jnp.asarray(QQ, jnp.float32),
-                dof_vel=jnp.asarray(DQ, jnp.float32))
-            sim = refresh(sim)
+            sim = refresh(fleet.inject(state.sim))
+            P = np.asarray(sim.root_pos)
             state = dataclasses.replace(
                 state, sim=sim,
                 episode_length=state.episode_length + 1,
