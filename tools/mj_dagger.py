@@ -96,6 +96,8 @@ def main(argv=None):
     K = int(kv.get("k", 8))
     lr = float(kv.get("lr", 3e-5))
     epochs = int(kv.get("epochs", 4))
+    noise = float(kv.get("noise", 0.02))   # exec-action exploration sigma
+    mix_engine = int(kv.get("mix_engine", 0))  # also collect engine-driven rounds
     out_dir = kv.get("out", "docs/kb2_r3/mjdagger")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -158,7 +160,7 @@ def main(argv=None):
             a_t = np.asarray(act_teacher(obs))
             a_s = np.asarray(act_student(params, obs))
             exec_a = a_t if driver == "teacher" else a_s
-            exec_a = np.clip(exec_a + rng.normal(0, 0.02, exec_a.shape).astype(np.float32),
+            exec_a = np.clip(exec_a + rng.normal(0, noise, exec_a.shape).astype(np.float32),
                              -env.action_clip, env.action_clip)
             # label every ALIVE state with the teacher
             for k in OBS_KEYS:
@@ -185,6 +187,29 @@ def main(argv=None):
         flat = {k: np.concatenate(v, 0).astype(np.float32) for k, v in data.items()}
         return flat, fall_tick, alive
 
+    step_env = jax.jit(env.step)
+
+    def rollout_engine(params):
+        """Engine-driven student round: same (obs_S, teacher label) pairs but
+        with the JAX engine as the dynamics — anchors the BC update on the
+        training distribution so MuJoCo rounds don't erode in-engine skill."""
+        state = env.init_state(jax.random.PRNGKey(21))
+        state = env.reset_to_start(state, jax.random.PRNGKey(23))
+        obs, hist = env._compute_observations(state, jax.random.PRNGKey(22))
+        state = dataclasses.replace(state, history=hist)
+        data = {k: [] for k in (*OBS_KEYS, "priv_obs", "teacher_actions")}
+        for t in range(n_ticks):
+            a_t = np.asarray(act_teacher(obs))
+            a_s = np.asarray(act_student(params, obs))
+            exec_a = np.clip(a_s + rng.normal(0, noise, a_s.shape).astype(np.float32),
+                             -env.action_clip, env.action_clip)
+            for k in OBS_KEYS:
+                data[k].append(np.asarray(obs[k]))
+            data["priv_obs"].append(np.asarray(obs["priv_obs"]))
+            data["teacher_actions"].append(a_t)
+            state, obs, rew, done, info = step_env(state, jnp.asarray(exec_a))
+        return {k: np.concatenate(v, 0).astype(np.float32) for k, v in data.items()}
+
     buffer = None
     for rnd in range(rounds):
         driver = "teacher" if rnd == 0 else "student"
@@ -194,6 +219,10 @@ def main(argv=None):
               f"survived {n_survive}/{K} fall_ticks={sorted(falls.tolist())}", flush=True)
         buffer = flat if buffer is None else {
             k: np.concatenate([buffer[k], flat[k]], 0) for k in flat}
+        if mix_engine:
+            eng = rollout_engine(params)
+            print(f"  + engine anchor round: {len(eng['teacher_actions'])} samples", flush=True)
+            buffer = {k: np.concatenate([buffer[k], eng[k]], 0) for k in buffer}
         n = len(buffer["teacher_actions"])
         idx = np.arange(n)
         for ep in range(epochs):
