@@ -119,6 +119,17 @@ def main(argv=None):
     print(f"[train] experiment dir: {exp_dir}")
     print(f"[train] devices: {jax.devices()}")
 
+    # boot-phase watchdog: the tunnel can wedge during env init / checkpoint
+    # load too (observed 2026-08-20: resume after a mid-run wedge hung in env
+    # init with 4 s CPU over 8 min — before the loop watchdog even existed).
+    # Armed immediately with a compile-generous timeout; replaced by the
+    # 300 s loop watchdog below. Skipped under pytest: an init exception in a
+    # test host would otherwise leave an armed os._exit timer behind.
+    boot_dog = None
+    if not os.environ.get("PYTEST_CURRENT_TEST"):
+        boot_dog = _Watchdog(float(cfg.get("watchdog_boot_timeout_s", 900.0)))
+        boot_dog.beat()
+
     import importlib
 
     def resolve(target):
@@ -240,6 +251,8 @@ def main(argv=None):
     steps_per_iter = env.num_envs * algo.num_steps
 
     ckpt_dir = exp_dir / "ckpt"
+    if boot_dog is not None:
+        boot_dog.stop()
     watchdog = _Watchdog(float(cfg.get("watchdog_timeout_s", 300.0)))
     t_start = time.time()
     last_log_t, last_log_it = t_start, 0
