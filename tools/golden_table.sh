@@ -23,7 +23,8 @@ for CLIP in "$@"; do
       obs=motion_tracking rewards=motion_tracking domain_rand=main \
       simulator=tpu robot.motion.motion_file=assets/motions/${CLIP}.pkl \
       num_envs=4096 experiment_name=$EXP seed=1 \
-      algo.config.save_interval=1000 || { echo "[golden] $CLIP train FAILED"; continue; }
+      algo.config.save_interval=1000 ${GOLDEN_EXTRA:-} \
+      || { echo "[golden] $CLIP train FAILED"; continue; }
   CKPT=$(ls -td logs/PBHC_TPU/*-${EXP}-*/ckpt/model_${ITERS} | head -1)
   echo "[golden] eval $CKPT"
   "${CPU[@]}" python -m pbhc_tpu.eval_agent checkpoint="$CKPT" sim2sim=true \
