@@ -9,6 +9,9 @@ URCI MuJoCo runtime with the terrain hfield installed.
 
 Usage:
     python tools/terrain_demo.py checkpoint=<ckpt> [row=3] [col=0] [out=...]
+        [policy=<npz|onnx>]   # replay a DIFFERENT deployable policy on the
+                              # checkpoint's terrain (e.g. the sim2sim-DAgger
+                              # KB2 student on the terrain-run heightfield)
 
 (reference parity: PhysX heightfield training, isaacgym.py:89-150; the
 reference has no MuJoCo terrain twin — this closes that gap.)
@@ -66,8 +69,13 @@ def main(argv=None):
     smf = Path("/tmp") / f"terrain_shifted_{mf.name}"
     joblib.dump(shifted, smf)
 
-    # policy export (reuse eval_agent's if present)
-    npz = ckpt.parent.parent / "exported" / f"{ckpt.name.replace('.pkl','')}.npz"
+    # policy export (reuse eval_agent's if present); policy= overrides with
+    # any deployable artifact (npz or onnx) to replay on this terrain
+    if "policy" in kv:
+        npz = Path(kv["policy"])
+        assert npz.exists(), npz
+    else:
+        npz = ckpt.parent.parent / "exported" / f"{ckpt.name.replace('.pkl','')}.npz"
     if not npz.exists():
         from pbhc_tpu.eval.batch_eval import _load
         from pbhc_tpu.deploy.export import export_policy
@@ -78,11 +86,33 @@ def main(argv=None):
                             meta_extra={"motion_file": str(mf)}, actor=algo.actor)
     print(f"[terrain_demo] policy {npz}")
 
-    from pbhc_tpu.deploy.urci import URCIRobot
+    if str(npz).endswith(".onnx") and Path(str(npz) + ".meta.json").exists():
+        # 3-input student export: drive the REAL-ROBOT controller pathway on
+        # the terrain hfield (same loop as eval/sim2sim.student_rollout_metrics)
+        from pbhc_tpu.deploy.export import StudentPolicy
+        from pbhc_tpu.deploy.mujoco_runtime import MujocoDeployRobot
+        from pbhc_tpu.deploy.real_robot import LoopbackTransport, RealRobotController
 
-    robot = URCIRobot([str(npz)], motion_file=str(smf), terrain=terrain)
-    n = int(robot.motion.data.num_frames[0] / robot.motion.data.fps[0] / robot.ctrl_dt)
-    traj = robot.routing(total_steps=n, loop=False)
+        policy = StudentPolicy(npz)
+        rt = policy.meta.get("robot_type", "g1_23dof_lock_wrist")
+        sim = MujocoDeployRobot(policy, str(smf), robot_type=rt, terrain=terrain)
+        sim.reset()
+        ctrl = RealRobotController(str(npz), LoopbackTransport(sim),
+                                   motion_file=str(smf), compensate_offsets=False)
+        assert ctrl.is_student
+        ctrl.mode = ctrl.POLICY
+        n = int(float(sim.motion.data.lengths[0]) / ctrl.ctrl_dt)
+        traj = {"root_pos": [], "root_rot": []}
+        for _ in range(n):
+            ctrl.step()
+            traj["root_pos"].append(sim.d.qpos[:3].copy())
+            traj["root_rot"].append(sim.base_quat_xyzw)
+    else:
+        from pbhc_tpu.deploy.urci import URCIRobot
+
+        robot = URCIRobot([str(npz)], motion_file=str(smf), terrain=terrain)
+        n = int(robot.motion.data.num_frames[0] / robot.motion.data.fps[0] / robot.ctrl_dt)
+        traj = robot.routing(total_steps=n, loop=False)
     rp = np.stack(traj["root_pos"])
     # height above the LOCAL terrain, not absolute z
     rel_z = rp[:, 2] - float(origin[2])
