@@ -22,7 +22,8 @@ import numpy as np
 class MjFleet:
     """K independent MuJoCo twins of the env's robot, PD-driven at 50 Hz."""
 
-    def __init__(self, env, k, sim_fps=500, decimation=10):
+    def __init__(self, env, k, sim_fps=500, decimation=10, terrain=None,
+                 tile=(0, 0)):
         import mujoco
 
         from pbhc_tpu.model.g1 import g1_asset_root
@@ -31,7 +32,27 @@ class MjFleet:
         self.k = k
         self.decimation = int(decimation)
         robot_type = str(env.config.robot.robot_type)
-        self.m = mujoco.MjModel.from_xml_path(str(g1_asset_root() / f"{robot_type}.xml"))
+        xml = str(g1_asset_root() / f"{robot_type}.xml")
+        if terrain is not None:
+            # hfield twin: export the training heightfield (sphere-sole feet,
+            # see Terrain.export_mujoco) and TRANSLATE it so the chosen tile's
+            # center sits at the world origin with ground height 0 — the env,
+            # motion references, and fall thresholds all stay unshifted.
+            import tempfile
+            from pathlib import Path
+
+            from pbhc_tpu.envs.terrain import fill_mujoco_hfield
+
+            out = Path(tempfile.mkdtemp()) / "fleet_terrain.xml"
+            terrain.export_mujoco(xml, out)
+            self.m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(str(out)), out)
+            cx, cy, cz = (float(v) for v in terrain.env_origins[tile[0], tile[1]])
+            gid = mujoco.mj_name2id(self.m, mujoco.mjtObj.mjOBJ_GEOM, "terrain")
+            self.m.geom_pos[gid][0] -= cx
+            self.m.geom_pos[gid][1] -= cy
+            self.m.geom_pos[gid][2] -= cz
+        else:
+            self.m = mujoco.MjModel.from_xml_path(xml)
         self.m.opt.timestep = 1.0 / sim_fps
         # the G1 MJCF <default> leaks armature/damping 0 onto some variants
         if float(np.max(self.m.dof_armature[6:])) == 0.0:

@@ -81,6 +81,20 @@ class Terrain:
             tile[r:r + ol, c:c + ow] = oh
         return tile
 
+    @classmethod
+    def from_run_config(cls, tcfg):
+        """Rebuild the (deterministic, seed-0) terrain from a run's config
+        snapshot `terrain:` group (dict-like)."""
+        assert tcfg["mesh_type"] == "heightfield", "run was not terrain-trained"
+        return cls(TerrainConfig(
+            horizontal_scale=float(tcfg["horizontal_scale"]),
+            vertical_scale=float(tcfg.get("vertical_scale", 0.005)),
+            num_rows=int(tcfg["num_rows"]), num_cols=int(tcfg["num_cols"]),
+            terrain_length=float(tcfg["terrain_length"]),
+            terrain_width=float(tcfg["terrain_width"]),
+            border_size=float(tcfg["border_size"]),
+            terrain_proportions=tuple(tcfg["terrain_proportions"])))
+
     def sample_origins(self, num_envs, rng=None, max_row=None):
         """Env origins spread over the terrain grid (curriculum row cap)."""
         rng = rng or np.random.default_rng(1)
@@ -90,12 +104,20 @@ class Terrain:
 
 
     # ------------------------------------------------------------- mujoco
-    def export_mujoco(self, robot_xml_path, out_xml_path):
+    def export_mujoco(self, robot_xml_path, out_xml_path, sphere_feet=True):
         """Write a MuJoCo scene XML with this terrain as an hfield asset
         replacing the robot XML's floor plane, plus a sidecar .npz with the
         elevation data (hfield data can't be inlined in XML; the loader calls
         `fill_mujoco_hfield`). Geometry matches the engine's lookup
         (engine.ground_height: world x -> row, world y -> col, corner at 0,0).
+
+        sphere_feet: on hfield scenes the *_ankle_roll collision MESH is
+        swapped for the engine's 4-corner sphere sole (model.g1
+        G1_FOOT_SOLE_SPHERES). mesh<->hfield is MuJoCo's weakest contact
+        pair (per-prism convex tests, few contacts, noisy normals at cell
+        edges) — a policy that completes on the plane scene falls within
+        ~1.5 s on a FLAT hfield tile with mesh feet; sphere<->hfield is the
+        robust pair and matches the geometry the policy trained on.
 
         reference parity: PhysX heightfield terrain for sim (isaacgym.py:
         89-150) gets no MuJoCo twin in the reference; this closes that gap so
@@ -120,6 +142,24 @@ class Terrain:
         xml = robot_xml_path.read_text()
         xml, n = re.subn(r'<geom[^>]*name="floor"[^>]*/>', geom, xml)
         assert n == 1, "expected exactly one floor plane geom to replace"
+        if sphere_feet:
+            from pbhc_tpu.model.g1 import G1_FOOT_SOLE_SPHERES
+
+            def _sole(m):
+                mesh = m.group(1)
+                spheres = "\n                  ".join(
+                    f'<geom type="sphere" size="{r}" pos="{x} {y} {z}" '
+                    f'contype="15" conaffinity="15"/>'
+                    for x, y, z, r in G1_FOOT_SOLE_SPHERES)
+                return (f'<geom type="mesh" contype="0" conaffinity="0" '
+                        f'rgba="0.2 0.2 0.2 1" mesh="{mesh}"/>\n'
+                        f'                  {spheres}')
+
+            xml, n = re.subn(
+                r'<geom type="mesh" rgba="0.2 0.2 0.2 1" '
+                r'mesh="((?:left|right)_ankle_roll_link)"/>',
+                _sole, xml)
+            assert n == 2, f"expected 2 ankle_roll collision meshes, got {n}"
         xml = xml.replace("<asset>", f"<asset>\n    {asset}", 1)
         # the scene may be written outside the robot dir: absolutize meshdir
         xml = re.sub(r'meshdir="([^"]*)"',

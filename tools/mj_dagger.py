@@ -24,6 +24,9 @@ the MuJoCo backend is a first-class training-data source.
 Usage:
     python tools/mj_dagger.py checkpoint=<student_ckpt> [rounds=5] [k=8]
         [lr=3e-5] [epochs=4] [out=docs/kb2_r3/mjdagger]
+        [teacher=<ckpt>]            # override the snapshot's logs/ path
+        [terrain_run=<run dir>]     # DAgger ON the training hfield
+        [tiles=0,1;0,0]             # tile per round (cycled), center at origin
 """
 import dataclasses
 import os
@@ -53,7 +56,7 @@ DR_OFF = ["domain_rand.randomize_friction=false", "domain_rand.randomize_base_ma
 OBS_KEYS = ("actor_obs", "future_motion_targets", "prop_history")
 
 
-def _build(ckpt_path, k_envs):
+def _build(ckpt_path, k_envs, teacher_override=None):
     """_load() clone that re-injects the distill-mode teacher obs groups
     (train.py:131-141) — the run config snapshot predates that mutation."""
     import importlib
@@ -69,7 +72,9 @@ def _build(ckpt_path, k_envs):
     for ov in DR_OFF:
         k, v = ov.split("=", 1)
         set_dotted(cfg, k, _parse_scalar(v))
-    teacher_path = cfg.algo.config.teacher_model_path
+    # teacher= override: run snapshots point at logs/ paths that do not
+    # survive a VM recycle; the committed artifacts/ mirror does
+    teacher_path = teacher_override or cfg.algo.config.teacher_model_path
     tcfg = load_teacher_config(teacher_path)
     cfg.obs.obs_dict["teacher_actor_obs"] = list(tcfg.obs.obs_dict["actor_obs"])
     cfg.obs.obs_dict["teacher_future_motion_targets"] = \
@@ -101,12 +106,29 @@ def main(argv=None):
     out_dir = kv.get("out", "docs/kb2_r3/mjdagger")
     os.makedirs(out_dir, exist_ok=True)
 
+    # terrain_run=<run dir with a heightfield config.yaml> puts the MuJoCo
+    # fleet ON the training hfield; tiles="0,1;0,0" cycles the tile whose
+    # center is placed at the origin, one tile per DAgger round (the motion
+    # and env stay unshifted — see MjFleet terrain handling)
+    terrain, tiles = None, [(0, 0)]
+    if "terrain_run" in kv:
+        import yaml as _yaml
+
+        from pbhc_tpu.envs.terrain import Terrain
+
+        tcfg = _yaml.safe_load(
+            open(os.path.join(kv["terrain_run"], "config.yaml")))["terrain"]
+        terrain = Terrain.from_run_config(tcfg)
+        tiles = [tuple(int(x) for x in t.split(","))
+                 for t in kv.get("tiles", "0,0").split(";")]
+
     import optax
 
     from pbhc_tpu.agents.mimic_networks import MimicActorCritic
     from pbhc_tpu.deploy.mj_mirror import MjFleet
 
-    env, algo, (t_apply, t_params), payload = _build(ckpt, K)
+    env, algo, (t_apply, t_params), payload = _build(
+        ckpt, K, teacher_override=kv.get("teacher"))
     params = payload["params"] if "params" in payload else payload["actor_params"]
 
     act_student = jax.jit(lambda p, o: algo.net.apply(
@@ -140,7 +162,7 @@ def main(argv=None):
     n_ticks = int(float(env.motion_lib.data.lengths[0]) / env.dt)
     rng = np.random.default_rng(0)
 
-    def rollout(params, driver):
+    def rollout(params, driver, tile=(0, 0)):
         """One DAgger round of data: K parallel MuJoCo episodes from t=0.
 
         driver='teacher' -> teacher executes (round 0, BC on its stable
@@ -149,7 +171,7 @@ def main(argv=None):
         state = env.reset_to_start(state, jax.random.PRNGKey(3))
         obs, hist = env._compute_observations(state, jax.random.PRNGKey(2))
         state = dataclasses.replace(state, history=hist)
-        fleet = MjFleet(env, K)
+        fleet = MjFleet(env, K, terrain=terrain, tile=tile)
         for i in range(K):
             fleet.set_from(state.sim, i)
         alive = np.ones(K, bool)
@@ -213,9 +235,11 @@ def main(argv=None):
     buffer = None
     for rnd in range(rounds):
         driver = "teacher" if rnd == 0 else "student"
-        flat, falls, alive = rollout(params, driver)
+        tile = tiles[rnd % len(tiles)]
+        flat, falls, alive = rollout(params, driver, tile)
         n_survive = int(alive.sum())
-        print(f"[round {rnd}] driver={driver} samples={len(flat['teacher_actions'])} "
+        print(f"[round {rnd}] driver={driver} tile={tile} "
+              f"samples={len(flat['teacher_actions'])} "
               f"survived {n_survive}/{K} fall_ticks={sorted(falls.tolist())}", flush=True)
         buffer = flat if buffer is None else {
             k: np.concatenate([buffer[k], flat[k]], 0) for k in flat}
@@ -235,9 +259,11 @@ def main(argv=None):
             print(f"  epoch {ep}: bc_loss {np.mean(losses):.4f}", flush=True)
 
     # final student-only eval episode (no label collection needed)
-    _, falls, alive = rollout(params, "student")
-    print(f"[final] student-driven: survived {int(alive.sum())}/{K} "
-          f"fall_ticks={sorted(falls.tolist())}", flush=True)
+    for tile in tiles:
+        _, falls, alive = rollout(params, "student", tile)
+        print(f"[final] student-driven tile={tile}: "
+              f"survived {int(alive.sum())}/{K} "
+              f"fall_ticks={sorted(falls.tolist())}", flush=True)
 
     out_pkl = os.path.join(out_dir, "model_mjdagger.pkl")
     with open(out_pkl, "wb") as f:

@@ -52,10 +52,23 @@ def main(argv=None):
     origin = terrain.env_origins[row, col]
     print(f"[terrain_demo] tile ({row},{col}) origin {origin}")
 
-    # shift the motion onto the tile (the env's origin_shift idiom)
+    # shift the motion onto the tile (the env's origin_shift idiom). With
+    # policy=, the motion must be the POLICY's clip (its export meta), not the
+    # terrain run's — a punch policy replayed against walk references would
+    # only measure obs mismatch, not the hfield path.
     import joblib
 
     mf = Path(cfg["robot"]["motion"]["motion_file"])
+    if "policy" in kv:
+        pp = Path(kv["policy"])
+        meta = {}
+        if pp.suffix == ".npz":
+            z = np.load(pp, allow_pickle=True)
+            if "meta" in z:
+                meta = json.loads(str(z["meta"]))
+        elif Path(str(pp) + ".meta.json").exists():
+            meta = json.loads(Path(str(pp) + ".meta.json").read_text())
+        mf = Path(meta.get("motion_file", mf))
     data = joblib.load(mf)
     shifted = {}
     for name, m in data.items():
