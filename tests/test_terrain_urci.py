@@ -204,3 +204,71 @@ def test_mujoco_hfield_export(tmp_path):
     # compiled model simulates
     d = mujoco.MjData(m)
     mujoco.mj_step(m, d)
+
+
+def test_hfield_sphere_soles(tmp_path):
+    """Hfield scenes swap the ankle collision MESH for the engine's 4-corner
+    sphere sole (mesh<->hfield is MuJoCo's weakest contact pair; sphere soles
+    match the geometry the policy trained on)."""
+    import mujoco
+
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig, fill_mujoco_hfield
+    from pbhc_tpu.model.g1 import G1_FOOT_SOLE_SPHERES, g1_asset_root
+
+    t = Terrain(TerrainConfig(num_rows=2, num_cols=2, border_size=2.0))
+    out = t.export_mujoco(g1_asset_root() / "g1_23dof_lock_wrist.xml",
+                          tmp_path / "scene.xml")
+    m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(str(out)), out)
+    feet = [i for i in range(m.nbody)
+            if mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, i).endswith(
+                "ankle_roll_link")]
+    assert len(feet) == 2
+    for b in feet:
+        geoms = [g for g in range(m.ngeom) if m.geom_bodyid[g] == b]
+        spheres = [g for g in geoms if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE
+                   and m.geom_contype[g] != 0]
+        meshes = [g for g in geoms if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH]
+        assert len(spheres) == len(G1_FOOT_SOLE_SPHERES)
+        assert all(m.geom_contype[g] == 0 for g in meshes), "mesh feet must not collide"
+        got = sorted(tuple(np.round(m.geom_pos[g], 4)) for g in spheres)
+        want = sorted((x, y, z) for x, y, z, _ in G1_FOOT_SOLE_SPHERES)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mj_fleet_terrain_tile_centering():
+    """MjFleet(terrain=, tile=) translates the hfield so the tile center sits
+    at the world origin with ground height 0 (env/motion stay unshifted)."""
+    import mujoco
+
+    from pbhc_tpu.config.loader import compose
+    from pbhc_tpu.deploy.mj_mirror import MjFleet
+    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+    from pbhc_tpu.envs.tracking_env import MotionTrackingEnv
+
+    cfg = compose(
+        "/root/repo/pbhc_tpu/config",
+        ["exp=motion_tracking", "robot=g1_23dof", "obs=motion_tracking",
+         "rewards=motion_tracking", "domain_rand=off", "simulator=tpu"],
+        ["num_envs=1",
+         "robot.motion.motion_file=/root/repo/assets/motions/Horse-stance_pose.pkl"],
+    )
+    env = MotionTrackingEnv(cfg, 1, jax.random.PRNGKey(0))
+    t = Terrain(TerrainConfig(num_rows=2, num_cols=2, border_size=2.0))
+    tile = (1, 1)
+    fleet = MjFleet(env, 1, terrain=t, tile=tile)
+    geomid = np.zeros(1, dtype=np.int32)
+    dist = mujoco.mj_ray(fleet.m, fleet.d[0], np.array([0.0, 0.0, 5.0]),
+                         np.array([0.0, 0.0, -1.0]), None, 1, -1, geomid)
+    assert dist >= 0
+    # tile-center ground at z=0 (tolerance: MuJoCo grid spacing is
+    # 2*half_extent/(n-1) vs the engine's horizontal_scale — a sub-cell
+    # sample offset, worst case one neighboring-cell height step)
+    assert abs((5.0 - dist) - 0.0) < 2e-2
+    # a point one tile over must read the NEIGHBOR tile's height, offset by
+    # the chosen tile's center height
+    cx, cy, cz = t.env_origins[tile[0], tile[1]]
+    ox, oy, oz = t.env_origins[0, 1]
+    dist2 = mujoco.mj_ray(fleet.m, fleet.d[0],
+                          np.array([float(ox - cx), 0.0, 5.0]),
+                          np.array([0.0, 0.0, -1.0]), None, 1, -1, geomid)
+    assert abs((5.0 - dist2) - float(oz - cz)) < 5e-3
