@@ -48,11 +48,15 @@ class MjFleet:
             self.m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(str(out)), out)
             cx, cy, cz = (float(v) for v in terrain.env_origins[tile[0], tile[1]])
             gid = mujoco.mj_name2id(self.m, mujoco.mjtObj.mjOBJ_GEOM, "terrain")
+            assert gid >= 0, "terrain geom missing from exported hfield scene"
             self.m.geom_pos[gid][0] -= cx
             self.m.geom_pos[gid][1] -= cy
             self.m.geom_pos[gid][2] -= cz
         else:
             self.m = mujoco.MjModel.from_xml_path(xml)
+        self.terrain = terrain
+        self._tile_off = ((cx, cy, cz) if terrain is not None
+                          else (0.0, 0.0, 0.0))
         self.m.opt.timestep = 1.0 / sim_fps
         # the G1 MJCF <default> leaks armature/damping 0 onto some variants
         if float(np.max(self.m.dof_armature[6:])) == 0.0:
@@ -60,11 +64,24 @@ class MjFleet:
         if float(np.max(self.m.dof_damping[6:])) == 0.0:
             self.m.dof_damping[6:] = 0.001
         self.d = [mujoco.MjData(self.m) for _ in range(k)]
+        for d in self.d:  # valid derived state (geom_xpos) before first use
+            mujoco.mj_forward(self.m, d)
         self.kp = np.asarray(env.p_gains)
         self.kd = np.asarray(env.d_gains)
         self.tl = np.asarray(env.torque_limits)
         self.asc = np.asarray(env.action_scales)
         self.ds = np.asarray(env.raw_default_dof_pos)
+
+    def ground_height(self, xy):
+        """Terrain height [K] under fleet-frame xy [K,2] (the frame whose
+        origin is the chosen tile center at z=0); 0 on the plane scene.
+        Bilinear, matching engine.ground_height — use for height-relative
+        fall thresholds on sloped/obstacle cells."""
+        xy = np.asarray(xy, np.float64)
+        if self.terrain is None:
+            return np.zeros(len(xy))
+        cx, cy, cz = self._tile_off
+        return self.terrain.height_at(xy + np.array([cx, cy])) - cz
 
     def set_from(self, sim, i):
         """MjData[i] <- engine SimState row i (xyzw->wxyz, world->body w)."""

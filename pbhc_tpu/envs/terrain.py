@@ -95,6 +95,21 @@ class Terrain:
             border_size=float(tcfg["border_size"]),
             terrain_proportions=tuple(tcfg["terrain_proportions"])))
 
+    def height_at(self, xy):
+        """Bilinear terrain height [K] under world xy [K,2] (numpy twin of
+        engine.ground_height: world x -> row i = x/hscale, corner at 0,0)."""
+        xy = np.asarray(xy, np.float64)
+        hf = self.height_field
+        hs = self.cfg.horizontal_scale
+        i = np.clip(xy[..., 0] / hs, 0.0, hf.shape[0] - 1.001)
+        j = np.clip(xy[..., 1] / hs, 0.0, hf.shape[1] - 1.001)
+        i0, j0 = np.floor(i).astype(int), np.floor(j).astype(int)
+        fi, fj = i - i0, j - j0
+        return (hf[i0, j0] * (1 - fi) * (1 - fj)
+                + hf[i0, j0 + 1] * (1 - fi) * fj
+                + hf[i0 + 1, j0] * fi * (1 - fj)
+                + hf[i0 + 1, j0 + 1] * fi * fj)
+
     def sample_origins(self, num_envs, rng=None, max_row=None):
         """Env origins spread over the terrain grid (curriculum row cap)."""
         rng = rng or np.random.default_rng(1)
@@ -131,7 +146,13 @@ class Terrain:
         hs = self.cfg.horizontal_scale
         zmin, zmax = float(hf.min()), float(hf.max())
         elev = max(zmax - zmin, 1e-3)
-        rx, ry = H * hs / 2.0, W * hs / 2.0
+        # Exact grid registration with the engine: MuJoCo places ncol samples
+        # EVENLY over [-rx, rx] (spacing 2rx/(ncol-1)), while the engine puts
+        # sample i at world x = i*hs. rx = (H-1)*hs/2 with the geom centered
+        # at ((H-1)*hs/2, ...) makes MuJoCo sample k sit exactly at x = k*hs
+        # (using H*hs/2 stretches the map by H/(H-1): ~2 cm height error on
+        # mid-map slopes at H=200).
+        rx, ry = (H - 1) * hs / 2.0, (W - 1) * hs / 2.0
         # mujoco hfield: data[row, col]; col spans x in [-rx, rx], row spans y
         asset = (f'<hfield name="terrain" nrow="{W}" ncol="{H}" '
                  f'size="{rx} {ry} {elev} 1.0"/>')
@@ -142,11 +163,17 @@ class Terrain:
         xml = robot_xml_path.read_text()
         xml, n = re.subn(r'<geom[^>]*name="floor"[^>]*/>', geom, xml)
         assert n == 1, "expected exactly one floor plane geom to replace"
+        # retarget explicit <contact><pair geom2="floor"> entries (rev_2 XML)
+        # at the replacement geom, or the compile fails on the dangling name
+        xml = xml.replace('geom2="floor"', 'geom2="terrain"')
         if sphere_feet:
             from pbhc_tpu.model.g1 import G1_FOOT_SOLE_SPHERES
 
             def _sole(m):
-                mesh = m.group(1)
+                tag, mesh = m.group(0), m.group(1)
+                # visual-only geoms (contype 0 / class visual) keep rendering
+                if 'contype="0"' in tag or 'class="visual"' in tag:
+                    return tag
                 spheres = "\n                  ".join(
                     f'<geom type="sphere" size="{r}" pos="{x} {y} {z}" '
                     f'contype="15" conaffinity="15"/>'
@@ -155,11 +182,26 @@ class Terrain:
                         f'rgba="0.2 0.2 0.2 1" mesh="{mesh}"/>\n'
                         f'                  {spheres}')
 
-            xml, n = re.subn(
-                r'<geom type="mesh" rgba="0.2 0.2 0.2 1" '
-                r'mesh="((?:left|right)_ankle_roll_link)"/>',
-                _sole, xml)
-            assert n == 2, f"expected 2 ankle_roll collision meshes, got {n}"
+            # attribute-order tolerant: any geom tag referencing an ankle_roll
+            # MESH. Robot variants whose ankle collision is already primitive
+            # (29dof_rev_1_0: spheres; rev_2: capsules) have no colliding
+            # ankle meshes — primitive<->hfield is the robust pair already,
+            # so the swap is a no-op there rather than an assert crash.
+            pat = (r'<geom\b[^>]*\bmesh="((?:left|right)_ankle_roll_link)"'
+                   r'[^>]*/>')
+            n_coll = sum(1 for m in re.finditer(pat, xml)
+                         if 'contype="0"' not in m.group(0)
+                         and 'class="visual"' not in m.group(0))
+            if n_coll == 0:
+                import warnings
+                warnings.warn(
+                    "export_mujoco(sphere_feet=True): no colliding ankle "
+                    "mesh geoms in this robot XML; keeping its primitive "
+                    "foot collision as-is")
+            else:
+                assert n_coll == 2, \
+                    f"expected 2 ankle_roll collision meshes, got {n_coll}"
+                xml = re.sub(pat, _sole, xml)
         xml = xml.replace("<asset>", f"<asset>\n    {asset}", 1)
         # the scene may be written outside the robot dir: absolutize meshdir
         xml = re.sub(r'meshdir="([^"]*)"',

@@ -256,19 +256,24 @@ def test_mj_fleet_terrain_tile_centering():
     t = Terrain(TerrainConfig(num_rows=2, num_cols=2, border_size=2.0))
     tile = (1, 1)
     fleet = MjFleet(env, 1, terrain=t, tile=tile)
+    d = fleet.d[0]
+    # park the robot clear of the probe rays so they hit only the hfield
+    d.qpos[0] += 100.0
+    mujoco.mj_forward(fleet.m, d)
+    tgid = mujoco.mj_name2id(fleet.m, mujoco.mjtObj.mjOBJ_GEOM, "terrain")
     geomid = np.zeros(1, dtype=np.int32)
-    dist = mujoco.mj_ray(fleet.m, fleet.d[0], np.array([0.0, 0.0, 5.0]),
+    dist = mujoco.mj_ray(fleet.m, d, np.array([0.0, 0.0, 5.0]),
                          np.array([0.0, 0.0, -1.0]), None, 1, -1, geomid)
-    assert dist >= 0
-    # tile-center ground at z=0 (tolerance: MuJoCo grid spacing is
-    # 2*half_extent/(n-1) vs the engine's horizontal_scale — a sub-cell
-    # sample offset, worst case one neighboring-cell height step)
-    assert abs((5.0 - dist) - 0.0) < 2e-2
+    assert dist >= 0 and geomid[0] == tgid
+    # tile-center ground at z=0: the tile center is an exact grid sample
+    # (export registers MuJoCo sample k at world x = k*horizontal_scale)
+    assert abs((5.0 - dist) - 0.0) < 5e-3
     # a point one tile over must read the NEIGHBOR tile's height, offset by
     # the chosen tile's center height
     cx, cy, cz = t.env_origins[tile[0], tile[1]]
     ox, oy, oz = t.env_origins[0, 1]
-    dist2 = mujoco.mj_ray(fleet.m, fleet.d[0],
+    dist2 = mujoco.mj_ray(fleet.m, d,
                           np.array([float(ox - cx), 0.0, 5.0]),
                           np.array([0.0, 0.0, -1.0]), None, 1, -1, geomid)
+    assert dist2 >= 0 and geomid[0] == tgid
     assert abs((5.0 - dist2) - float(oz - cz)) < 5e-3

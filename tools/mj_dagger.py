@@ -201,7 +201,11 @@ def main(argv=None):
                 last_dof_vel=state.sim.dof_vel)
             obs, hist = compute_obs(state, keys[t])
             state = dataclasses.replace(state, history=hist)
-            newly_down = (P[:, 2] < 0.35) & alive
+            # height-relative fall check: on sloped/obstacle cells away from
+            # the tile center, absolute z misreads healthy downhill walking
+            # as a fall (and vice versa uphill)
+            gz = fleet.ground_height(P[:, :2])
+            newly_down = (P[:, 2] - gz < 0.35) & alive
             fall_tick[newly_down] = t
             alive &= ~newly_down
             if not alive.any():

@@ -8,22 +8,24 @@
 # segfaults sporadically mid-suite (every crashed test passes standalone),
 # so per-file isolation keeps one crash from killing the whole run.
 #
-# Default is the FAST path: tests marked `slow` (multi-minute distill /
-# engine-parity compiles) are skipped, keeping the default run under ~10 min.
-# Set PBHC_SLOW=1 for the full suite (what CI / the round driver should run):
-#   bash tools/run_tests.sh tests/ -q              # fast default
-#   PBHC_SLOW=1 bash tools/run_tests.sh tests/ -q  # everything
+# Default is the FULL suite (slow marks included) — a green default run is
+# the CI signal and covers PPO-learns, lanes parity, distill modes, and
+# mirror recovery (VERDICT r4 #7: the fast subset must not masquerade as
+# green CI). For quick iteration, opt OUT explicitly:
+#   bash tools/run_tests.sh tests/ -q              # full suite (CI)
+#   PBHC_FAST=1 bash tools/run_tests.sh tests/ -q  # skip slow marks
+# (PBHC_SLOW=1 is accepted for backward compat and is a no-op now.)
 set -u
 PYTEST=(env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE python -m pytest)
-if [ "${PBHC_SLOW:-0}" != "1" ]; then
+if [ "${PBHC_FAST:-0}" = "1" ]; then
   PYTEST+=(-m "not slow")
   NSLOW=$(grep -rl "pytest.mark.slow" "$(dirname "$0")/../tests" 2>/dev/null | wc -l)
   echo "=============================================================" >&2
-  echo "[run_tests] FAST mode: 'slow'-marked tests are DESELECTED" >&2
+  echo "[run_tests] FAST mode (PBHC_FAST=1): 'slow' tests DESELECTED" >&2
   echo "[run_tests] (~$NSLOW files carry slow marks: PPO-learns, lanes" >&2
   echo "[run_tests] parity, distill modes, artifact-mirror recovery)." >&2
-  echo "[run_tests] A green fast run does NOT cover those paths — run" >&2
-  echo "[run_tests] PBHC_SLOW=1 bash tools/run_tests.sh tests/ -q  for CI." >&2
+  echo "[run_tests] A green fast run is NOT a CI signal — run the" >&2
+  echo "[run_tests] default  bash tools/run_tests.sh tests/ -q  for CI." >&2
   echo "=============================================================" >&2
 fi
 

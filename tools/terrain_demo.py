@@ -39,16 +39,9 @@ def main(argv=None):
     tcfg = cfg["terrain"]
     assert tcfg["mesh_type"] == "heightfield", "checkpoint was not terrain-trained"
 
-    from pbhc_tpu.envs.terrain import Terrain, TerrainConfig
+    from pbhc_tpu.envs.terrain import Terrain
 
-    terrain = Terrain(TerrainConfig(
-        horizontal_scale=float(tcfg["horizontal_scale"]),
-        vertical_scale=float(tcfg.get("vertical_scale", 0.005)),
-        num_rows=int(tcfg["num_rows"]), num_cols=int(tcfg["num_cols"]),
-        terrain_length=float(tcfg["terrain_length"]),
-        terrain_width=float(tcfg["terrain_width"]),
-        border_size=float(tcfg["border_size"]),
-        terrain_proportions=tuple(tcfg["terrain_proportions"])))
+    terrain = Terrain.from_run_config(tcfg)
     origin = terrain.env_origins[row, col]
     print(f"[terrain_demo] tile ({row},{col}) origin {origin}")
 
@@ -127,8 +120,10 @@ def main(argv=None):
         n = int(robot.motion.data.num_frames[0] / robot.motion.data.fps[0] / robot.ctrl_dt)
         traj = robot.routing(total_steps=n, loop=False)
     rp = np.stack(traj["root_pos"])
-    # height above the LOCAL terrain, not absolute z
-    rel_z = rp[:, 2] - float(origin[2])
+    # height above the LOCAL terrain under the root (bilinear lookup), not the
+    # tile-center height — on sloped cells the latter misreads progress as a
+    # fall (URCI runs in untranslated terrain world coordinates)
+    rel_z = rp[:, 2] - terrain.height_at(rp[:, :2])
     quat = np.stack(traj["root_rot"])
     roll = np.arctan2(2 * (quat[:, 3] * quat[:, 0] + quat[:, 1] * quat[:, 2]),
                       1 - 2 * (quat[:, 0] ** 2 + quat[:, 1] ** 2))
