@@ -23,7 +23,11 @@ class MjFleet:
     """K independent MuJoCo twins of the env's robot, PD-driven at 50 Hz."""
 
     def __init__(self, env, k, sim_fps=500, decimation=10, terrain=None,
-                 tile=(0, 0)):
+                 tile=(0, 0), sphere_feet=None):
+        """sphere_feet: None = default (spheres on hfield scenes, mesh on the
+        plane); True/False forces the foot collision geometry either way —
+        the knob tools/diag_hfield.py uses to decompose scene-vs-foot
+        transfer gaps."""
         import mujoco
 
         from pbhc_tpu.model.g1 import g1_asset_root
@@ -33,6 +37,22 @@ class MjFleet:
         self.decimation = int(decimation)
         robot_type = str(env.config.robot.robot_type)
         xml = str(g1_asset_root() / f"{robot_type}.xml")
+        if terrain is None and sphere_feet:
+            # plane scene with the engine's sphere soles (diagnostic)
+            import tempfile
+            from pathlib import Path as _Path
+
+            from pbhc_tpu.envs.terrain import swap_sphere_soles
+
+            import re as _re
+
+            src = _Path(xml)
+            txt = swap_sphere_soles(src.read_text())
+            txt = _re.sub(r'meshdir="([^"]*)"',
+                          lambda m: f'meshdir="{(src.parent / m.group(1)).resolve()}"',
+                          txt)
+            xml = str(_Path(tempfile.mkdtemp()) / "plane_spheres.xml")
+            _Path(xml).write_text(txt)
         if terrain is not None:
             # hfield twin: export the training heightfield (sphere-sole feet,
             # see Terrain.export_mujoco) and TRANSLATE it so the chosen tile's
@@ -44,7 +64,9 @@ class MjFleet:
             from pbhc_tpu.envs.terrain import fill_mujoco_hfield
 
             out = Path(tempfile.mkdtemp()) / "fleet_terrain.xml"
-            terrain.export_mujoco(xml, out)
+            terrain.export_mujoco(
+                xml, out,
+                sphere_feet=True if sphere_feet is None else sphere_feet)
             self.m = fill_mujoco_hfield(mujoco.MjModel.from_xml_path(str(out)), out)
             cx, cy, cz = (float(v) for v in terrain.env_origins[tile[0], tile[1]])
             gid = mujoco.mj_name2id(self.m, mujoco.mjtObj.mjOBJ_GEOM, "terrain")

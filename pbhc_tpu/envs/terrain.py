@@ -167,41 +167,7 @@ class Terrain:
         # at the replacement geom, or the compile fails on the dangling name
         xml = xml.replace('geom2="floor"', 'geom2="terrain"')
         if sphere_feet:
-            from pbhc_tpu.model.g1 import G1_FOOT_SOLE_SPHERES
-
-            def _sole(m):
-                tag, mesh = m.group(0), m.group(1)
-                # visual-only geoms (contype 0 / class visual) keep rendering
-                if 'contype="0"' in tag or 'class="visual"' in tag:
-                    return tag
-                spheres = "\n                  ".join(
-                    f'<geom type="sphere" size="{r}" pos="{x} {y} {z}" '
-                    f'contype="15" conaffinity="15"/>'
-                    for x, y, z, r in G1_FOOT_SOLE_SPHERES)
-                return (f'<geom type="mesh" contype="0" conaffinity="0" '
-                        f'rgba="0.2 0.2 0.2 1" mesh="{mesh}"/>\n'
-                        f'                  {spheres}')
-
-            # attribute-order tolerant: any geom tag referencing an ankle_roll
-            # MESH. Robot variants whose ankle collision is already primitive
-            # (29dof_rev_1_0: spheres; rev_2: capsules) have no colliding
-            # ankle meshes — primitive<->hfield is the robust pair already,
-            # so the swap is a no-op there rather than an assert crash.
-            pat = (r'<geom\b[^>]*\bmesh="((?:left|right)_ankle_roll_link)"'
-                   r'[^>]*/>')
-            n_coll = sum(1 for m in re.finditer(pat, xml)
-                         if 'contype="0"' not in m.group(0)
-                         and 'class="visual"' not in m.group(0))
-            if n_coll == 0:
-                import warnings
-                warnings.warn(
-                    "export_mujoco(sphere_feet=True): no colliding ankle "
-                    "mesh geoms in this robot XML; keeping its primitive "
-                    "foot collision as-is")
-            else:
-                assert n_coll == 2, \
-                    f"expected 2 ankle_roll collision meshes, got {n_coll}"
-                xml = re.sub(pat, _sole, xml)
+            xml = swap_sphere_soles(xml)
         xml = xml.replace("<asset>", f"<asset>\n    {asset}", 1)
         # the scene may be written outside the robot dir: absolutize meshdir
         xml = re.sub(r'meshdir="([^"]*)"',
@@ -212,6 +178,68 @@ class Terrain:
         np.savez(str(out_xml_path) + ".terrain.npz",
                  data=((hf.T - zmin) / elev).astype(np.float32))
         return out_xml_path
+
+
+def swap_sphere_soles(xml, style="box"):
+    """Swap colliding *_ankle_roll MESH geoms for an engine-matched sole,
+    keeping the mesh as visual-only.
+
+    style="sphere": the engine's 4-corner sphere sole verbatim
+    (model.g1 G1_FOOT_SOLE_SPHERES). style="box" (default): one box whose
+    BOTTOM FACE spans the same 4 sphere-bottom corners (same sole plane
+    z=-0.035, same support rectangle). Box is the default because MuJoCo
+    3.10's hfield convex test silently MISSES r=5-17.5 mm spheres (measured:
+    sole spheres sink 10 cm through a FLAT hfield tile with ncon=3/8, while
+    box soles reproduce the plane-scene trajectory exactly — the tiny-geom-
+    vs-prism MPR failure mode); sphere<->plane is fine, so plane scenes can
+    keep spheres.
+
+    Attribute-order tolerant; robot variants whose ankle collision is already
+    primitive (29dof_rev_1_0: spheres; rev_2: capsules) have no colliding
+    ankle meshes — primitive contact pairs are robust already, so the swap is
+    a warned no-op there rather than an assert crash (ADVICE r4)."""
+    import re
+
+    from pbhc_tpu.model.g1 import G1_FOOT_SOLE_SPHERES
+
+    xs = [s[0] for s in G1_FOOT_SOLE_SPHERES]
+    ys = [s[1] for s in G1_FOOT_SOLE_SPHERES]
+    z0 = min(s[2] - s[3] for s in G1_FOOT_SOLE_SPHERES)   # sole plane
+    r0 = max(s[3] for s in G1_FOOT_SOLE_SPHERES)
+    hx = (max(xs) - min(xs)) / 2 + r0
+    hy = (max(ys) - min(ys)) / 2 + r0
+    cx, cy = (max(xs) + min(xs)) / 2, (max(ys) + min(ys)) / 2
+    hz = 0.0025
+    if style == "box":
+        sole = (f'<geom type="box" size="{hx} {hy} {hz}" '
+                f'pos="{cx} {cy} {z0 + hz}" contype="15" conaffinity="15"/>')
+    else:
+        sole = "\n                  ".join(
+            f'<geom type="sphere" size="{r}" pos="{x} {y} {z}" '
+            f'contype="15" conaffinity="15"/>'
+            for x, y, z, r in G1_FOOT_SOLE_SPHERES)
+
+    def _sole(m):
+        tag, mesh = m.group(0), m.group(1)
+        # visual-only geoms (contype 0 / class visual) keep rendering
+        if 'contype="0"' in tag or 'class="visual"' in tag:
+            return tag
+        return (f'<geom type="mesh" contype="0" conaffinity="0" '
+                f'rgba="0.2 0.2 0.2 1" mesh="{mesh}"/>\n'
+                f'                  {sole}')
+
+    pat = r'<geom\b[^>]*\bmesh="((?:left|right)_ankle_roll_link)"[^>]*/>'
+    n_coll = sum(1 for m in re.finditer(pat, xml)
+                 if 'contype="0"' not in m.group(0)
+                 and 'class="visual"' not in m.group(0))
+    if n_coll == 0:
+        import warnings
+        warnings.warn(
+            "swap_sphere_soles: no colliding ankle mesh geoms in this robot "
+            "XML; keeping its primitive foot collision as-is")
+        return xml
+    assert n_coll == 2, f"expected 2 ankle_roll collision meshes, got {n_coll}"
+    return re.sub(pat, _sole, xml)
 
 
 def fill_mujoco_hfield(model, xml_path):

@@ -207,9 +207,11 @@ def test_mujoco_hfield_export(tmp_path):
 
 
 def test_hfield_sphere_soles(tmp_path):
-    """Hfield scenes swap the ankle collision MESH for the engine's 4-corner
-    sphere sole (mesh<->hfield is MuJoCo's weakest contact pair; sphere soles
-    match the geometry the policy trained on)."""
+    """Hfield scenes swap the ankle collision MESH for a BOX sole whose
+    bottom face spans the engine's 4 sphere-bottom corners (mesh<->hfield is
+    MuJoCo's weakest contact pair, and sphere<->hfield silently drops
+    contacts for r<=17.5mm spheres — the box reproduces the plane-scene
+    trajectory; see envs.terrain.swap_sphere_soles)."""
     import mujoco
 
     from pbhc_tpu.envs.terrain import Terrain, TerrainConfig, fill_mujoco_hfield
@@ -223,16 +225,20 @@ def test_hfield_sphere_soles(tmp_path):
             if mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, i).endswith(
                 "ankle_roll_link")]
     assert len(feet) == 2
+    sole_z = min(z - r for x, y, z, r in G1_FOOT_SOLE_SPHERES)
     for b in feet:
         geoms = [g for g in range(m.ngeom) if m.geom_bodyid[g] == b]
-        spheres = [g for g in geoms if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_SPHERE
-                   and m.geom_contype[g] != 0]
+        boxes = [g for g in geoms if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_BOX
+                 and m.geom_contype[g] != 0]
         meshes = [g for g in geoms if m.geom_type[g] == mujoco.mjtGeom.mjGEOM_MESH]
-        assert len(spheres) == len(G1_FOOT_SOLE_SPHERES)
+        assert len(boxes) == 1
         assert all(m.geom_contype[g] == 0 for g in meshes), "mesh feet must not collide"
-        got = sorted(tuple(np.round(m.geom_pos[g], 4)) for g in spheres)
-        want = sorted((x, y, z) for x, y, z, _ in G1_FOOT_SOLE_SPHERES)
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        g = boxes[0]
+        # bottom face on the engine's sole plane, footprint covers the spheres
+        assert abs((m.geom_pos[g][2] - m.geom_size[g][2]) - sole_z) < 1e-6
+        for x, y, z, r in G1_FOOT_SOLE_SPHERES:
+            assert abs(x - m.geom_pos[g][0]) <= m.geom_size[g][0] + 1e-9
+            assert abs(y - m.geom_pos[g][1]) <= m.geom_size[g][1] + 1e-9
 
 
 def test_mj_fleet_terrain_tile_centering():
