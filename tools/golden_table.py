@@ -49,6 +49,13 @@ def main():
         with open(p) as f:
             print(row(name, json.load(f)))
 
+    print()
+    print("Note: the reference ships SEVEN example clips and THREE pretrained")
+    print("policies; `pretrained_horse_stance_pose_2` tracks the SAME")
+    print("Horse-stance_pose clip as `pretrained_horse_stance_pose` (reference")
+    print("example/pretrained_horse_stance_pose_2/config.yaml:539), so clip")
+    print("coverage — not policy count — is what this table grows.")
+
     gm = os.path.join(HERE, "docs", "GOLDEN_METRICS.json")
     if os.path.exists(gm):
         with open(gm) as f:
