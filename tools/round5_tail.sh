@@ -21,8 +21,8 @@ left() { echo $(( STOP_EPOCH - $(date +%s) )); }
 # --- terrain_walk_v3: saturated-curriculum hfield retrain ----------------
 if [ "$(left)" -gt 1200 ]; then
   echo "[tail] === terrain_walk_v3 ($(left)s left) ==="
-  timeout -s TERM "$(( $(left) - 3300 > 1200 ? $(left) - 3300 : 1200 ))" \
-    bash tools/train_retry.sh 7500 \
+  timeout -s TERM "$(( $(left) - 2700 > 1200 ? $(left) - 2700 : 1200 ))" \
+    bash tools/train_retry.sh 6500 \
       exp=motion_tracking robot=g1_23dof \
       obs=motion_tracking rewards=motion_tracking domain_rand=main \
       simulator=tpu terrain=locomotion terrain.curriculum=true \
@@ -42,7 +42,7 @@ LIB29=assets/motions/g1_rig_Skeleton_Sequence_converted_processed_g1_29dof_rev_1
 if [ "$(left)" -gt 1500 ]; then
   TB=$(( $(left) - 1500 ))
   echo "[tail] === 29-DoF teacher (budget ${TB}s) ==="
-  timeout -s TERM "$TB" bash tools/train_retry.sh 6000 \
+  timeout -s TERM "$TB" bash tools/train_retry.sh 3000 \
       exp=general_tracking robot=g1_29dof \
       obs=general_tracking_teacher rewards=general_tracking domain_rand=main \
       simulator=tpu robot.motion.motion_file=$LIB29 num_envs=2048 \
