@@ -18,8 +18,10 @@ def row(name, d, note=""):
     s2s = d.get("sim2sim", {})
     acc = s2s.get("accuracy", {})
     sm = s2s.get("smoothness", {})
+    eng = d.get("accuracy", {})
     stands = "yes" if d.get("sim2sim_final_z", 0) > 0.5 else "NO"
     return (f"| {name} | {d.get('completion_ratio', float('nan')):.2f} "
+            f"| {eng.get('E_mpjpe', float('nan')):.1f} "
             f"| {stands} ({d.get('sim2sim_final_z', float('nan')):.3f}) "
             f"| {acc.get('E_mpjpe', float('nan')):.1f} "
             f"| {sm.get('L2_dof_jerk', float('nan')):.0f} | {note} |")
@@ -33,9 +35,9 @@ def main():
     print("anchors (its shipped pretrained ONNX through the same pipeline)")
     print("from docs/GOLDEN_METRICS.json where they exist.")
     print()
-    print("| clip | in-engine completion | sim2sim stands (final z) "
-          "| sim2sim E_mpjpe | L2_dof_jerk | note |")
-    print("|---|---|---|---|---|---|")
+    print("| clip | in-engine completion | in-engine E_mpjpe "
+          "| sim2sim stands (final z) | sim2sim E_mpjpe | L2_dof_jerk | note |")
+    print("|---|---|---|---|---|---|---|")
 
     punch = os.path.join(HERE, "docs", "punch_final_eval.json")
     if os.path.exists(punch):
