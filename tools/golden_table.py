@@ -45,11 +45,18 @@ def main():
             print(row("Horse-stance_punch", json.load(f),
                       "round-1 final (16k iters); beats reference 33k ONNX"))
 
+    notes = {
+        "horse_stance_pose": "model_6000, selected by sim2sim validation "
+            "(transfer flickers across checkpoints — pose_transfer_track.jsonl); "
+            "beats every reference anchor",
+        "side_kick": "10.5k iters; falls on the yaw-pivot engine gap "
+            "(quantified: docs/sweeps/r5_pivot_diag.json)",
+    }
     for p in sorted(glob.glob(os.path.join(HERE, "docs", "golden_table",
                                            "*_eval.json"))):
         name = os.path.basename(p).replace("_eval.json", "").replace("kb1_", "")
         with open(p) as f:
-            print(row(name, json.load(f)))
+            print(row(name, json.load(f), notes.get(name, "")))
 
     print()
     print("Note: the reference ships SEVEN example clips and THREE pretrained")
