@@ -196,7 +196,8 @@ def parse_cli(argv):
                                  "project_name", "headless", "base_dir", "multichip",
                                  "use_wandb", "save_motion", "log_task_name",
                                  "auto_load_latest", "total_iterations",
-                                 "watchdog_timeout_s", "artifact_dir"}:
+                                 "watchdog_timeout_s", "watchdog_boot_timeout_s",
+                                 "artifact_dir"}:
             ovs.append(a)
         else:
             sels.append(a)
